@@ -1,0 +1,140 @@
+"""Farthest Point Sampling (SURVEY.md §2.11 M3/M4, §4.3-4).
+
+FPS is greedy-sequential, so it cannot be a Catalyst operator. The
+reference bounds its O(N*S) cost by running it on consecutive chunks of
+the catalogue sorted by (file_id, patch_id), giving each chunk spatial
+locality (reference: samplers/diversity.py:59-95, algos.py:94-140,
+yield_chunks algos.py:58-62).
+
+Spark design (deterministic at any parallelism):
+1. chunk ids are computed from EXPLICIT global ranks — a per-file_id
+   window rank plus a cumulative per-file offset computed on the tiny
+   distinct-file table and broadcast back. No single-partition global
+   window over the data, no sampled range partitioner: chunk membership is
+   a pure function of the data, so results are identical on local[8],
+   local[32], or 1000 executors.
+2. per-chunk quota = ceil(chunk_len * n / N) (reference: diversity.py:81-84).
+3. numpy greedy FPS per chunk via ``applyInPandas`` (Arrow-batched,
+   vectorized distance updates; start index 0 of the chunk order like the
+   reference, algos.py:114-115).
+4. final trim: order by (chunk_id, fps_rank) and take n — reproducing the
+   reference's concat + iloc[:n].
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pacasam_spark import schemas as S
+
+CHUNK_ID = "__chunk_id"
+FPS_RANK = "__fps_rank"
+
+
+def fps_numpy(arr: np.ndarray, num_to_sample: int) -> np.ndarray:
+    """Greedy max-min FPS over rows of ``arr``; returns selected indices in
+    selection order. Vectorized distance updates, O(N * S).
+
+    Same contract as the reference's ``fps`` (samplers/algos.py:94-140):
+    seeded at index 0, each step picks the point with the largest minimum
+    squared-L2 distance to the selected set.
+    """
+    arr = np.asarray(arr, dtype=float)
+    n = len(arr)
+    num_to_sample = min(num_to_sample, n)
+    if num_to_sample <= 0:
+        return np.empty(0, dtype=int)
+    selected = np.empty(num_to_sample, dtype=int)
+    selected[0] = 0
+    min_d2 = ((arr - arr[0]) ** 2).sum(axis=1)
+    min_d2[0] = -1.0  # never re-pick
+    for i in range(1, num_to_sample):
+        nxt = int(np.argmax(min_d2))
+        selected[i] = nxt
+        d2 = ((arr - arr[nxt]) ** 2).sum(axis=1)
+        np.minimum(min_d2, d2, out=min_d2)
+        min_d2[nxt] = -1.0
+    return selected
+
+
+def add_deterministic_chunk_ids(
+    df: DataFrame,
+    max_chunk_size: int,
+    order_keys: tuple[str, str] = (S.FILE_ID, S.PATCH_ID),
+) -> DataFrame:
+    """Assign chunk ids = floor(global_rank / max_chunk_size) under the
+    (file_id, patch_id) total order, without a global window.
+
+    The per-file offsets come from a window over the DISTINCT-file count
+    table (thousands of rows for billions of patches) which is then
+    broadcast back — the data itself only shuffles once, on file_id.
+    """
+    file_key, id_key = order_keys
+    counts = df.groupBy(file_key).count()
+    w_files = Window.orderBy(file_key).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = counts.withColumn(
+        "__offset", F.coalesce(F.sum("count").over(w_files), F.lit(0))
+    ).select(file_key, "__offset")
+
+    w_in_file = Window.partitionBy(file_key).orderBy(id_key)
+    return (
+        df.join(F.broadcast(offsets), on=file_key)
+        .withColumn(
+            CHUNK_ID,
+            ((F.col("__offset") + F.row_number().over(w_in_file) - 1) / max_chunk_size)
+            .cast("long"),
+        )
+        .drop("__offset")
+    )
+
+
+def fps_sample(
+    df: DataFrame,
+    num_to_sample: int,
+    feature_cols: list[str],
+    max_chunk_size: int = 5000,
+    order_keys: tuple[str, str] = (S.FILE_ID, S.PATCH_ID),
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """M4: chunked FPS selection of ``num_to_sample`` rows.
+
+    Returns keep_cols (default [patch_id, file_id]) + CHUNK_ID + FPS_RANK,
+    trimmed to the global quota.
+    """
+    file_key, id_key = order_keys
+    keep = keep_cols or [id_key, file_key]
+    total = df.count()
+    if total == 0:
+        return df.select(*keep).withColumn(CHUNK_ID, F.lit(0)).withColumn(
+            FPS_RANK, F.lit(0)
+        ).limit(0)
+    proportion = num_to_sample / total
+
+    chunked = add_deterministic_chunk_ids(df, max_chunk_size, order_keys)
+    cols = list(dict.fromkeys(keep + feature_cols + [CHUNK_ID, id_key, file_key]))
+    chunked = chunked.select(*cols)
+
+    out_schema = ", ".join(
+        [f"{c} {dict(zip(df.schema.names, df.schema.fields))[c].dataType.simpleString()}" for c in keep]
+        + [f"{CHUNK_ID} long", f"{FPS_RANK} int"]
+    )
+
+    def run_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([file_key, id_key]).reset_index(drop=True)
+        quota = math.ceil(len(pdf) * proportion)
+        idx = fps_numpy(pdf[feature_cols].to_numpy(), quota)
+        out = pdf.loc[idx, keep + [CHUNK_ID]].reset_index(drop=True)
+        out[FPS_RANK] = np.arange(len(idx), dtype="int32")
+        return out
+
+    selected = chunked.groupBy(CHUNK_ID).applyInPandas(run_chunk, schema=out_schema)
+    # reference trim: concat in chunk order then iloc[:n]
+    # (diversity.py:73-74) == order by (chunk, fps_rank) limit n.
+    return selected.orderBy(CHUNK_ID, FPS_RANK).limit(num_to_sample)

@@ -1,0 +1,64 @@
+"""Base sampler (reference: samplers/sampler.py)."""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pacasam_spark import schemas as S
+from pacasam_spark.operators.split import assign_split
+
+SAMPLER_REGISTRY: dict[str, type] = {}
+
+
+class Sampler:
+    """Abstract sampler. Subclasses implement get_patches() returning a
+    DataFrame with columns (patch_id, split, sampler)."""
+
+    def __init__(
+        self,
+        catalogue: DataFrame,
+        sampling_config: dict,
+        log: logging.Logger | None = None,
+        seed: int = 42,
+    ):
+        self.name = type(self).__name__
+        self.db = catalogue
+        self.cf = sampling_config
+        self.log = log or logging.getLogger(self.name)
+        self.seed = seed
+
+    def get_patches(self, **kwargs) -> DataFrame:
+        raise NotImplementedError
+
+    # --- shared helpers -------------------------------------------------
+
+    def _tag(self, selection: DataFrame) -> DataFrame:
+        return selection.withColumn(S.SAMPLER, F.lit(self.name))
+
+    def _finalize(
+        self, selection: DataFrame, split_keys: str | list[str] = S.FILE_ID, seed_offset: int = 0
+    ) -> DataFrame:
+        """Tag sampler name, assign split (P8), project to sampling schema.
+
+        Mirrors ``_set_validation_patches_with_stratification``
+        (reference: samplers/sampler.py:53-65): frac applies to the size of
+        THIS selection.
+        """
+        sel = assign_split(
+            selection,
+            self.cf.get("frac_validation_set"),
+            keys=split_keys,
+            seed=self.seed + seed_offset,
+        )
+        return self._tag(sel).select(S.PATCH_ID, S.SPLIT, S.SAMPLER)
+
+    def log_attrition(self, n_before: int, n_after: int) -> None:
+        """A9 (reference: samplers/sampler.py:42-51)."""
+        if n_before:
+            self.log.info(
+                f"{self.name}: {n_before} ids -> {n_after} distinct ids "
+                f"(uniqueness ratio: {n_after / n_before:.03f})"
+            )

@@ -1,0 +1,35 @@
+"""DiversitySampler (reference: samplers/diversity.py:10-100): normalize
+the class-histogram features, then chunked farthest-point sampling for
+even coverage of the feature space, chunks following the
+(file_id, patch_id) spatial order."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from pacasam_spark import schemas as S
+from pacasam_spark.operators.fps import fps_sample
+from pacasam_spark.operators.normalize import quantile_transform, standardize
+from pacasam_spark.samplers.base import Sampler
+
+
+class DiversitySampler(Sampler):
+    def get_patches(self, num_to_sample: int | None = None) -> DataFrame:
+        if num_to_sample is None:
+            num_to_sample = self.cf["target_total_num_patches"]
+        dcf = self.cf["DiversitySampler"]
+        cols = list(dcf["columns"])
+
+        db = self.db.select(S.PATCH_ID, S.FILE_ID, *cols)
+        if dcf.get("normalization", "standardization") == "standardization":
+            db = standardize(db, cols)
+        else:
+            db = quantile_transform(db, cols, n_quantiles=dcf.get("n_quantiles", 50))
+
+        sel = fps_sample(
+            db,
+            num_to_sample,
+            feature_cols=cols,
+            max_chunk_size=dcf.get("max_chunk_size_for_fps", 5000),
+        ).select(S.PATCH_ID, S.FILE_ID)
+        return self._finalize(sel, split_keys=S.FILE_ID)

@@ -1,0 +1,44 @@
+"""OutliersSampler (reference: samplers/outliers.py:11-61): normalize,
+score outliers, keep the top-k most outlying patches, stratify the val
+split by (cluster_id, file_id).
+
+The reference scores with HDBSCAN/GLOSH; this engine uses the documented
+chunk-local kNN-density approximation
+(pacasam_spark.operators.outliers) — see SURVEY.md §4.3-6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pacasam_spark import schemas as S
+from pacasam_spark.operators.outliers import CLUSTER_ID, OUTLIER_SCORE, knn_outlier_scores
+from pacasam_spark.operators.normalize import standardize
+from pacasam_spark.samplers.base import Sampler
+
+
+class OutliersSampler(Sampler):
+    def get_patches(self, num_to_sample: int | None = None) -> DataFrame:
+        if num_to_sample is None:
+            num_to_sample = self.cf["target_total_num_patches"]
+        ocf = self.cf["OutliersSampler"]
+        cols = list(ocf["columns"])
+
+        db = self.db.select(S.PATCH_ID, S.FILE_ID, *cols)
+        # always standardization: "the only one that gives good outliers"
+        # (reference: outliers.py:40-41)
+        db = standardize(db, cols)
+        scored = knn_outlier_scores(
+            db,
+            cols,
+            k=int(ocf.get("knn", 50)),
+            max_chunk_size=int(ocf.get("max_chunk_size", 5000)),
+        )
+        # deterministic top-k (TakeOrdered): tiebreak on patch_id
+        sel = (
+            scored.orderBy(F.desc(OUTLIER_SCORE), S.PATCH_ID)
+            .limit(num_to_sample)
+            .select(S.PATCH_ID, S.FILE_ID, CLUSTER_ID)
+        )
+        return self._finalize(sel, split_keys=[CLUSTER_ID, S.FILE_ID])

@@ -1,0 +1,83 @@
+"""TargettedSampler (reference: samplers/targetted.py:13-105).
+
+For each boolean target (ascending quota order, reference
+targetted.py:85-96): filter -> stratified exact-n sample -> split
+assignment; union with first-wins precedence; optionally complete with
+SpatialSampler, rebalancing the validation fraction so the FINAL val count
+is floor(frac * target_total) (reference targetted.py:46-51 — replicated
+as arithmetic, not as the reference's in-place config mutation).
+"""
+
+from __future__ import annotations
+
+import warnings
+from math import floor
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pacasam_spark import schemas as S
+from pacasam_spark.operators.filters import filter_by_boolean_descriptor
+from pacasam_spark.operators.sampling import sample_with_stratification
+from pacasam_spark.operators.union import union_dedup_priority
+from pacasam_spark.samplers.base import Sampler
+from pacasam_spark.samplers.spatial import SpatialSampler
+
+
+class TargettedSampler(Sampler):
+    def __init__(self, *args, complete_with_spatial_sampling: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.complete_with_spatial_sampling = complete_with_spatial_sampling
+
+    def sorted_targets(self, targets: dict) -> dict:
+        """O5: ascending target_min_samples_proportion
+        (reference: targetted.py:85-96)."""
+        return dict(
+            sorted(targets.items(), key=lambda kv: kv[1]["target_min_samples_proportion"])
+        )
+
+    def get_patches(self) -> DataFrame:
+        target_total = self.cf["target_total_num_patches"]
+        targets = self.sorted_targets(self.cf["TargettedSampler"]["targets"])
+
+        selections: list[DataFrame] = []
+        for i, (name, objectives) in enumerate(targets.items()):
+            matching = filter_by_boolean_descriptor(self.db, name).select(
+                S.PATCH_ID, S.FILE_ID
+            )
+            quota = int(objectives["target_min_samples_proportion"] * target_total)
+            # "cannot take more than there is" (targetted.py:68): the
+            # window-rank sampler caps at the available count naturally.
+            sel = sample_with_stratification(
+                matching, quota, keys=S.FILE_ID, seed=self.seed + 7 * i
+            )
+            selections.append(self._finalize(sel, seed_offset=7 * i + 1))
+
+        # first-wins precedence on dedup, like concat order in the reference
+        selection = union_dedup_priority(selections).persist()
+        n_selected = selection.count()
+        self.log.info(f"{self.name}: N={n_selected} distinct patches for targets.")
+
+        if n_selected > target_total:
+            warnings.warn(
+                f"Selected more than the desired total of N={target_total}. "
+                "If this is not desired, please reconsider your targets."
+            )
+            return selection
+        if not self.complete_with_spatial_sampling or n_selected == target_total:
+            return selection
+
+        # Completion: rebalance the val fraction so the final val count is
+        # floor(frac * target_total) (reference: targetted.py:46-51).
+        num_to_add = target_total - n_selected
+        final_val = floor(self.cf["frac_validation_set"] * target_total)
+        val_so_far = selection.filter(F.col(S.SPLIT) == "val").count()
+        frac_for_completion = max(0.0, (final_val - val_so_far) / num_to_add)
+
+        completion_cf = dict(self.cf)
+        completion_cf["frac_validation_set"] = frac_for_completion
+        ss = SpatialSampler(self.db, completion_cf, log=self.log, seed=self.seed + 991)
+        completion = ss.get_patches(
+            num_to_sample=num_to_add, current_selection_ids=selection
+        )
+        return selection.unionByName(completion)

@@ -1,0 +1,55 @@
+"""TripleSampler (reference: samplers/triple.py:10-40): targetted (no
+completion) -> diversity on half the remainder -> spatial completion, with
+first-wins dedup precedence targetted > diversity > spatial
+(SURVEY.md §4.3-3).
+
+The two quota computations are driver-side counts — the same
+materialization barriers the reference has via len() (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+
+from pacasam_spark.operators.union import union_dedup_priority
+from pacasam_spark.samplers.base import Sampler
+from pacasam_spark.samplers.diversity import DiversitySampler
+from pacasam_spark.samplers.spatial import SpatialSampler
+from pacasam_spark.samplers.targetted import TargettedSampler
+
+
+class TripleSampler(Sampler):
+    def get_patches(self) -> DataFrame:
+        target_total = self.cf["target_total_num_patches"]
+
+        ts = TargettedSampler(
+            self.db, self.cf, log=self.log, seed=self.seed,
+            complete_with_spatial_sampling=False,
+        )
+        targetted = ts.get_patches().persist()
+        n_targetted = targetted.count()
+
+        num_diverse = (target_total - n_targetted) // 2  # half of remainder
+        if num_diverse < 0:
+            # reference warns (with a typo crash, triple.py:21 — not
+            # replicated) and returns the targetted selection alone.
+            warnings.warn(
+                f"Target dataset size of n={target_total} patches achieved via "
+                "targetted sampling single-handedly: the SUM OF CONSTRAINTS IS "
+                "ABOVE 100%."
+            )
+            return targetted
+
+        ds = DiversitySampler(self.db, self.cf, log=self.log, seed=self.seed + 1)
+        diverse = ds.get_patches(num_to_sample=num_diverse)
+        selection = union_dedup_priority([targetted, diverse]).persist()
+        n_selection = selection.count()
+
+        num_to_complete = target_total - n_selection
+        ss = SpatialSampler(self.db, self.cf, log=self.log, seed=self.seed + 2)
+        others = ss.get_patches(
+            num_to_sample=num_to_complete, current_selection_ids=selection
+        )
+        return union_dedup_priority([selection, others])

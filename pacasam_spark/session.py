@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for the local test/bench environment while
+keeping cluster-scale defaults explicit (AQE, skew join, Arrow).
+
+On a real cluster the same builder applies; only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pacasam_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: int N -> local[N]; "*" -> local[*]; None -> $SPARK_GRAFT_CPUS or 32.
+    shuffle_partitions defaults to the core count — right-sized for local
+    mode; on a multi-executor cluster pass ~2-3x total cores instead.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = f"local[{cores}]"
+    n_cores = os.cpu_count() or 32 if cores == "*" else int(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = n_cores
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # files.maxPartitionBytes default 128m is fine for the test parquet;
+        # kept explicit so the scale knob is visible.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship pacasam_spark to executor Python workers (the local-mode
+    equivalent of ``spark-submit --py-files pacasam_spark.zip``).
+
+    Without this, any applyInPandas/mapInPandas closure referencing the
+    package fails on workers whose cwd/sys.path differ from the driver's.
+    """
+    if getattr(spark, "_pacasam_pyfiles_shipped", False):
+        return
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zip_path = pathlib.Path(tempfile.gettempdir()) / "pacasam_spark_pyfiles.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+    spark.sparkContext.addPyFile(str(zip_path))
+    spark._pacasam_pyfiles_shipped = True
