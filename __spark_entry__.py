@@ -1,38 +1,560 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one (or a few) operator(s) from
+SURVEY.md §2, implemented Spark-first in ``pacasam_spark``; the matching
+``oracle_sql()`` entry is ANSI SQL DuckDB runs on the same tables.
+
+Float policy: any aggregated money/price value goes through exact
+DECIMAL sums (order-independent, identical in both engines) and is cast
+to double only at the end; row-wise double arithmetic is IEEE-identical
+across engines and needs no rounding.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from pacasam_spark.operators.asof import asof_nearest_join, distinct_on
+from pacasam_spark.operators.hashing import det_hash, det_hash_sql
+from pacasam_spark.operators.sampling import (
+    sample_randomly,
+    sample_with_stratification,
+    stratified_sample_sql,
+)
+from pacasam_spark.operators.union import union_dedup_priority
+from pacasam_spark.sources.synthetic import synthetic_catalogue, synthetic_catalogue_sql
+from pacasam_spark.spatial.cells import cell_id, cell_id_sql
+
+DEC = "decimal(27,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _li_id() -> F.Column:
+    """Composite lineitem row key (linenumber is 1..7)."""
+    return (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("li_id")
+
+
+LI_ID_SQL = "(l_orderkey * 10 + l_linenumber)"
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: catalogue-ized lineitem -> deterministic
+    stratified sampling (M7) -> broadcast extraction join (J1) -> summary
+    aggregation. The pacasam pipeline shape over the driver's tables."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = _t(spark, sf_dir, "lineitem").withColumn("li_id", _li_id())
+    selection = sample_with_stratification(
+        li.select("li_id", "l_suppkey"), 500, keys="l_suppkey", seed=42, id_key="li_id"
+    )
+    extracted = li.join(F.broadcast(selection.select("li_id")), "li_id")
+    return (
+        extracted.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
+
+# --------------------------------------------------------------------------
+# queries / oracles
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-class aggregation battery (SURVEY §2.5 A4-A7) — TPC-H Q1 shape."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc) * (F.lit(1).cast(DEC) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+select l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity as decimal(27,4))) as double) as sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(27,4))) as double) as sum_base_price,
+  cast(sum(cast(l_extendedprice as decimal(27,4)) * (cast(1 as decimal(27,4)) - cast(l_discount as decimal(27,4)))) as double) as sum_disc_price,
+  cast(sum(cast(l_extendedprice as decimal(27,4)) * (cast(1 as decimal(27,4)) - cast(l_discount as decimal(27,4))) * (cast(1 as decimal(27,4)) + cast(l_tax as decimal(27,4)))) as double) as sum_charge,
+  cast(sum(cast(l_quantity as decimal(27,4))) as double) / count(*) as avg_qty,
+  cast(sum(cast(l_extendedprice as decimal(27,4))) as double) / count(*) as avg_price,
+  cast(sum(cast(l_discount as decimal(27,4))) as double) / count(*) as avg_disc,
+  count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q02_derived_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7: derived boolean predicates, safe-epsilon ratio, value bands
+    (reference: configs/Lipac_query.sql:62-72)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ratio = F.col("l_extendedprice") / (F.col("l_quantity") + F.lit(1e-6))
+    return (
+        li.filter((F.col("l_quantity") > 0) & (F.col("l_discount") >= 0.05))
+        .select(
+            _li_id(),
+            (F.col("l_extendedprice") >= 30000).alias("is_expensive"),
+            ratio.alias("unit_price"),
+            F.when(F.col("l_quantity") >= 45, "high")
+            .when(F.col("l_quantity") >= 20, "mid")
+            .otherwise("low")
+            .alias("qty_band"),
+        )
+    )
+
+
+Q02_SQL = f"""
+select {LI_ID_SQL} as li_id,
+       l_extendedprice >= 30000 as is_expensive,
+       l_extendedprice / (l_quantity + 1e-6) as unit_price,
+       case when l_quantity >= 45 then 'high'
+            when l_quantity >= 20 then 'mid'
+            else 'low' end as qty_band
+from lineitem
+where l_quantity > 0 and l_discount >= 0.05
+"""
+
+
+def q03_extraction_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: small deterministic selection broadcast-joined back to the big
+    table (reference: connectors/connector.py:48-51)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    selection = sample_randomly(orders.select("o_orderkey"), 200, seed=7, key="o_orderkey")
+    return li.join(F.broadcast(selection), li.l_orderkey == selection.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+Q03_SQL = f"""
+with selection as (
+  select o_orderkey from orders
+  order by {det_hash_sql('o_orderkey', 7)}, o_orderkey limit 200
+)
+select l_orderkey, l_linenumber, l_quantity, l_extendedprice
+from lineitem join selection on l_orderkey = o_orderkey
+"""
+
+
+def q04_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/J2: anti-join exclusion (reference: connectors/connector.py:40-42)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+Q04_SQL = """
+select c_custkey, c_name, c_mktsegment from customer
+where c_custkey not in (select o_custkey from orders)
+"""
+
+
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: semi-join flag (reference: samplers/sampler.py:61-64)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    return orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+Q05_SQL = """
+select o_orderkey, o_totalprice from orders
+where exists (select 1 from customer
+              where c_custkey = o_custkey and c_mktsegment = 'BUILDING')
+"""
+
+
+def q06_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/W1: as-of nearest join via window rank-1
+    (reference: configs/Lipac_query.sql:121-132)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey).withColumn(
+        "day_dist", F.abs(F.datediff("l_shipdate", "o_orderdate") - F.lit(45))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("day_dist", "l_linenumber")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_orderkey", "l_linenumber", "day_dist")
+    )
+
+
+Q06_SQL = """
+with joined as (
+  select o_orderkey, l_linenumber,
+         abs(datediff('day', o_orderdate, l_shipdate) - 45) as day_dist
+  from orders join lineitem on o_orderkey = l_orderkey
+), ranked as (
+  select *, row_number() over (partition by o_orderkey
+                               order by day_dist, l_linenumber) as rn
+  from joined
+)
+select o_orderkey, l_linenumber, day_dist from ranked where rn = 1
+"""
+
+
+def q07_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: DISTINCT ON keep-first-per-group
+    (reference: configs/Lipac_query.sql:80-94)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return distinct_on(
+        li.select("l_orderkey", "l_linenumber", "l_shipdate"),
+        keys=["l_orderkey"],
+        order_by=["l_shipdate", "l_linenumber"],
+    )
+
+
+Q07_SQL = """
+select l_orderkey, l_linenumber, l_shipdate
+from (select l_orderkey, l_linenumber, l_shipdate,
+             row_number() over (partition by l_orderkey
+                                order by l_shipdate, l_linenumber) as rn
+      from lineitem) t
+where rn = 1
+"""
+
+
+def q08_bool_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: BOOL_OR rollup (reference: configs/Lipac_query.sql:103-109)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.bool_or(F.col("o_totalprice") > 200000).alias("has_big_order"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("has_urgent"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+Q08_SQL = """
+select o_custkey,
+       bool_or(o_totalprice > 200000) as has_big_order,
+       bool_or(o_orderpriority = '1-URGENT') as has_urgent,
+       count(*) as n_orders
+from orders group by o_custkey
+"""
+
+
+def q09_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O4: deterministic global top-k -> TakeOrdered physical op
+    (reference: samplers/outliers.py:46)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+Q09_SQL = """
+select o_orderkey, o_totalprice from orders
+order by o_totalprice desc, o_orderkey limit 100
+"""
+
+
+def q10_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: deterministic exact-n random sample
+    (reference: samplers/algos.py:17-20)."""
+    li = _t(spark, sf_dir, "lineitem").select(_li_id(), "l_orderkey", "l_linenumber")
+    return sample_randomly(li, 1000, seed=123, key="li_id").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+Q10_SQL = f"""
+select l_orderkey, l_linenumber from lineitem
+order by {det_hash_sql(LI_ID_SQL, 123)}, {LI_ID_SQL} limit 1000
+"""
+
+
+def q11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: exact-n stratified sampling, round-robin fairness
+    (reference: samplers/algos.py:23-56)."""
+    li = _t(spark, sf_dir, "lineitem").select(_li_id(), "l_suppkey")
+    return sample_with_stratification(li, 500, keys="l_suppkey", seed=11, id_key="li_id")
+
+
+Q11_SQL = stratified_sample_sql(
+    f"select {LI_ID_SQL} as li_id, l_suppkey from lineitem",
+    500,
+    keys=["l_suppkey"],
+    seed=11,
+    id_key="li_id",
+    columns="li_id, l_suppkey",
+)
+
+
+def q12_union_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2: union with first-wins precedence (SURVEY §4.3-3;
+    reference: samplers/triple.py:16-38)."""
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_orderkey").alias("patch_id"), F.lit("big").alias("tag")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("patch_id"), F.lit("urgent").alias("tag")
+    )
+    return union_dedup_priority([big, urgent], key="patch_id")
+
+
+Q12_SQL = """
+with u as (
+  select o_orderkey as patch_id, 'big' as tag, 0 as prio
+  from orders where o_totalprice > 150000
+  union all
+  select o_orderkey as patch_id, 'urgent' as tag, 1 as prio
+  from orders where o_orderpriority = '1-URGENT'
+), r as (
+  select patch_id, tag,
+         row_number() over (partition by patch_id order by prio) as rn
+  from u
+)
+select patch_id, tag from r where rn = 1
+"""
+
+
+def q13_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1-X5: zero-padded id concat, year extract, abs, safe ratio
+    (reference: configs/Lipac_query.sql:29,63,113-122)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.concat(
+            F.lit("ORD-"), F.lpad(F.col("o_orderkey").cast("string"), 9, "0")
+        ).alias("order_code"),
+        F.year("o_orderdate").alias("order_year"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("abs_from_100k"),
+        (F.col("o_totalprice") / (F.col("o_custkey") + F.lit(1e-6))).alias("safe_ratio"),
+    )
+
+
+Q13_SQL = """
+select concat('ORD-', lpad(cast(o_orderkey as varchar), 9, '0')) as order_code,
+       year(o_orderdate) as order_year,
+       abs(o_totalprice - 100000.0) as abs_from_100k,
+       o_totalprice / (o_custkey + 1e-6) as safe_ratio
+from orders
+"""
+
+
+def q14_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 generalized: hierarchical cell ids as pure column exprs
+    (reference: connectors/synthetic.py:112; SURVEY §4.3-8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = (F.pmod(F.col("l_orderkey"), F.lit(1000)) * 50).cast("double")
+    y = (F.pmod(F.col("l_partkey"), F.lit(1000)) * 50).cast("double")
+    pts = li.select(
+        _li_id(),
+        cell_id(x, y, 0).alias("cell_l0"),
+        cell_id(x, y, 3).alias("cell_l3"),
+    )
+    return pts.groupBy("cell_l3").agg(
+        F.count("*").alias("n_points"),
+        F.countDistinct("cell_l0").alias("n_children"),
+    )
+
+
+_x_sql = "((l_orderkey % 1000) * 50)"
+_y_sql = "((l_partkey % 1000) * 50)"
+Q14_SQL = f"""
+with pts as (
+  select {cell_id_sql(_x_sql, _y_sql, 0)} as cell_l0,
+         {cell_id_sql(_x_sql, _y_sql, 3)} as cell_l3
+  from lineitem
+)
+select cell_l3, count(*) as n_points, count(distinct cell_l0) as n_children
+from pts group by cell_l3
+"""
+
+
+def q15_prevalence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A8: prevalence of boolean descriptors, grouped comparison
+    (reference: analysis/stats.py:52-107)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        (
+            F.sum((F.col("o_totalprice") > 100000).cast("long")).cast("double")
+            / F.count("*")
+        ).alias("prevalence_big"),
+        F.count("*").alias("n"),
+    )
+
+
+Q15_SQL = """
+select o_orderpriority,
+       cast(sum(cast(o_totalprice > 100000 as bigint)) as double) / count(*)
+         as prevalence_big,
+       count(*) as n
+from orders group by o_orderpriority
+"""
+
+
+def q16_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: zero-ignoring standardization with exact decimal statistics
+    (reference: samplers/algos.py:65-91)."""
+    from pacasam_spark.operators.normalize import standardize
+
+    li = _t(spark, sf_dir, "lineitem").select(_li_id(), "l_quantity", "l_discount")
+    out = standardize(li, ["l_quantity", "l_discount"], check_nan=False)
+    return out.select(
+        "li_id",
+        F.col("l_quantity").alias("qty_norm"),
+        F.col("l_discount").alias("disc_norm"),
+    )
+
+
+def _std_sql(col: str) -> str:
+    """Oracle replica of pacasam_spark standardize: decimal sums -> float
+    mean/var in the same expression order as the Python driver code."""
+    return f"""
+      select cast(sum(cast(nullif({col}, 0) as decimal(38,6))) as double) as s,
+             cast(sum(cast(nullif({col}, 0) * nullif({col}, 0) as decimal(38,6))) as double) as ssq,
+             count(nullif({col}, 0)) as n
+      from lineitem
+    """
+
+
+Q16_SQL = f"""
+with qs as ({_std_sql('l_quantity')}),
+     ds as ({_std_sql('l_discount')}),
+     qstats as (select s/n as mean, sqrt((ssq - n*(s/n)*(s/n))/(n-1)) + 1e-5 as stdev from qs),
+     dstats as (select s/n as mean, sqrt((ssq - n*(s/n)*(s/n))/(n-1)) + 1e-5 as stdev from ds),
+     normed as (
+       select {LI_ID_SQL} as li_id,
+              (nullif(l_quantity, 0) - qstats.mean) / qstats.stdev as qty_norm,
+              (nullif(l_discount, 0) - dstats.mean) / dstats.stdev as disc_norm
+       from lineitem, qstats, dstats
+     ),
+     mins as (select min(qty_norm) as qmin, min(disc_norm) as dmin from normed)
+select li_id,
+       coalesce(qty_norm, mins.qmin) as qty_norm,
+       coalesce(disc_norm, mins.dmin) as disc_norm
+from normed, mins
+"""
+
+
+def q17_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 analogue + W: empirical-CDF via percent_rank + ntile buckets."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("price_cdf"),
+        F.ntile(20).over(w).alias("price_bucket"),
+    )
+
+
+Q17_SQL = """
+select o_orderkey,
+       percent_rank() over (partition by o_orderpriority
+                            order by o_totalprice, o_orderkey) as price_cdf,
+       ntile(20) over (partition by o_orderpriority
+                       order by o_totalprice, o_orderkey) as price_bucket
+from orders
+"""
+
+
+def q18_synthetic_catalogue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the deterministic synthetic patch catalogue itself
+    (reference: connectors/synthetic.py:45-113)."""
+    return synthetic_catalogue(spark, db_size=2000)
+
+
+Q18_SQL = synthetic_catalogue_sql(db_size=2000)
+
+
+def q19_stratified_catalogue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 over the synthetic catalogue — the core sampler decision path,
+    oracle-checked end-to-end."""
+    db = synthetic_catalogue(spark, db_size=2000).select("patch_id", "file_id")
+    return sample_with_stratification(db, 200, keys="file_id", seed=42)
+
+
+Q19_SQL = stratified_sample_sql(
+    f"select patch_id, file_id from ({synthetic_catalogue_sql(db_size=2000)})",
+    200,
+    keys=["file_id"],
+    seed=42,
+    id_key="patch_id",
+    columns="patch_id, file_id",
+)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_derived_predicates": q02_derived_predicates,
+        "q03_extraction_join": q03_extraction_join,
+        "q04_anti_join": q04_anti_join,
+        "q05_semi_join": q05_semi_join,
+        "q06_asof_nearest": q06_asof_nearest,
+        "q07_distinct_on": q07_distinct_on,
+        "q08_bool_rollup": q08_bool_rollup,
+        "q09_topk": q09_topk,
+        "q10_random_sample": q10_random_sample,
+        "q11_stratified_sample": q11_stratified_sample,
+        "q12_union_dedup_priority": q12_union_dedup_priority,
+        "q13_scalar_funcs": q13_scalar_funcs,
+        "q14_cell_index": q14_cell_index,
+        "q15_prevalence_stats": q15_prevalence_stats,
+        "q16_standardize": q16_standardize,
+        "q17_percent_rank": q17_percent_rank,
+        "q18_synthetic_catalogue": q18_synthetic_catalogue,
+        "q19_stratified_catalogue": q19_stratified_catalogue,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": Q01_SQL,
+        "q02_derived_predicates": Q02_SQL,
+        "q03_extraction_join": Q03_SQL,
+        "q04_anti_join": Q04_SQL,
+        "q05_semi_join": Q05_SQL,
+        "q06_asof_nearest": Q06_SQL,
+        "q07_distinct_on": Q07_SQL,
+        "q08_bool_rollup": Q08_SQL,
+        "q09_topk": Q09_SQL,
+        "q10_random_sample": Q10_SQL,
+        "q11_stratified_sample": Q11_SQL,
+        "q12_union_dedup_priority": Q12_SQL,
+        "q13_scalar_funcs": Q13_SQL,
+        "q14_cell_index": Q14_SQL,
+        "q15_prevalence_stats": Q15_SQL,
+        "q16_standardize": Q16_SQL,
+        "q17_percent_rank": Q17_SQL,
+        "q18_synthetic_catalogue": Q18_SQL,
+        "q19_stratified_catalogue": Q19_SQL,
+    }
