@@ -5,11 +5,16 @@ for reproducibility (reference: samplers/algos.py:12,20,36 `random_state=0`).
 Row order has no stable distributed analogue, so every random choice here is
 a pure function of the row KEY and a SEED:
 
-    det_hash(key, seed) = ((key * 2654435761 + seed) % 2147483647) * 48271
-                                                      % 2147483647
+    a = (key * 2654435761 + seed * 2246822519) % (2^31-1)
+    b = a XOR (a >> 13)                 -- nonlinear: breaks affine order
+    c = (b * 48271) % (2^31-1)
+    d = c XOR (c >> 17)
 
-i.e. a Knuth multiplicative mix followed by a Lehmer/MINSTD step in the
-Mersenne-prime field 2^31-1. Properties that matter:
+i.e. a Knuth multiplicative mix + Lehmer/MINSTD step in the Mersenne-prime
+field 2^31-1, interleaved with xorshifts. The xorshifts matter: without
+them the hash is AFFINE in (key, seed), so two seeds give almost the same
+ordering (a constant rotation mod M preserves relative order except at
+wraps) — discovered by a failing determinism test. Properties that matter:
 
 - order- and partition-independent -> bitwise identical results on
   local[8] vs local[32] vs a 1000-executor cluster (north-rule scaling);
@@ -30,26 +35,33 @@ from pyspark.sql import functions as F
 
 MERSENNE31 = 2147483647  # 2^31 - 1
 KNUTH = 2654435761  # 2^32 * golden ratio
+SEED_MIX = 2246822519  # xxhash PRIME32_2
 MINSTD = 48271
 
 
 def det_hash(key: Column | str, seed: int = 0) -> Column:
     """Deterministic uniform-ish hash of a non-negative integer column.
 
-    Returns a LongType column in [0, 2^31-1). Portable to ANSI SQL via
-    :func:`det_hash_sql`.
+    Returns a LongType column in [0, 2^31-1). Portable SQL twin:
+    :func:`det_hash_sql`. Intermediates stay < 2^62 (ANSI-safe).
     """
     k = F.col(key) if isinstance(key, str) else key
-    a = F.pmod(k.cast("long") * F.lit(KNUTH) + F.lit(seed), F.lit(MERSENNE31))
-    return F.pmod(a * F.lit(MINSTD), F.lit(MERSENNE31))
+    a = F.pmod(
+        k.cast("long") * F.lit(KNUTH) + F.lit(seed * SEED_MIX % MERSENNE31),
+        F.lit(MERSENNE31),
+    )
+    b = a.bitwiseXOR((a / F.lit(8192)).cast("long"))  # a >> 13
+    c = F.pmod(b * F.lit(MINSTD), F.lit(MERSENNE31))
+    return c.bitwiseXOR((c / F.lit(131072)).cast("long"))  # c >> 17
 
 
 def det_hash_sql(key_expr: str, seed: int = 0) -> str:
-    """The same hash as ANSI SQL text (valid in both Spark SQL and DuckDB)."""
-    return (
-        f"(((({key_expr}) * {KNUTH} + {seed}) % {MERSENNE31})"
-        f" * {MINSTD}) % {MERSENNE31}"
-    )
+    """The same hash as DuckDB SQL text (xor(); integer // division)."""
+    s = seed * SEED_MIX % MERSENNE31
+    a = f"((({key_expr}) * {KNUTH} + {s}) % {MERSENNE31})"
+    b = f"xor({a}, {a} // 8192)"
+    c = f"(({b} * {MINSTD}) % {MERSENNE31})"
+    return f"xor({c}, {c} // 131072)"
 
 
 def det_uniform(key: Column | str, seed: int = 0) -> Column:

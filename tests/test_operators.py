@@ -1,0 +1,185 @@
+"""Operator unit tests (SURVEY.md §2.3/2.8/2.11 semantics)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pacasam_spark import schemas as S
+from pacasam_spark.operators.asof import asof_nearest_join, distinct_on
+from pacasam_spark.operators.filters import (
+    UnexpectedNaNValuesError,
+    assert_no_nan,
+    dedup_by_patch_id,
+    exclude_ids,
+    filter_by_boolean_descriptor,
+    filter_split,
+)
+from pacasam_spark.operators.fps import fps_numpy, fps_sample
+from pacasam_spark.operators.normalize import EPSILON, quantile_transform, standardize
+from pacasam_spark.operators.sampling import (
+    sample_n_per_stratum,
+    sample_randomly,
+    sample_with_stratification,
+)
+from pacasam_spark.operators.union import union_dedup_priority
+
+
+def test_filter_split_truth_table(catalogue):
+    """reference: tests/tests_pacasam/connectors/test_lipac.py:13-36 —
+    NaN => train; test = strictly true; any = all; invalid raises."""
+    total = catalogue.count()
+    n_test = filter_split(catalogue, "test").count()
+    n_train = filter_split(catalogue, "train").count()
+    assert n_test == int(0.2 * 200)
+    assert n_train == total - n_test  # NULL => train
+    assert filter_split(catalogue, "any").count() == total
+    with pytest.raises(ValueError):
+        filter_split(catalogue, "validation")
+
+
+def test_boolean_descriptor_filter_counts(catalogue):
+    # exact prevalences: ceil(p * 200)
+    for name, p in [("C0", 0.005), ("C1", 0.2), ("C2", 0.2), ("C3", 0.7)]:
+        assert filter_by_boolean_descriptor(catalogue, name).count() == math.ceil(p * 200)
+    with pytest.raises(TypeError):
+        filter_by_boolean_descriptor(catalogue, "nb_total")
+
+
+def test_exclude_ids_anti_join(spark, catalogue):
+    excl = catalogue.filter(F.col(S.PATCH_ID) < 50).select(S.PATCH_ID)
+    out = exclude_ids(catalogue, excl)
+    assert out.count() == 150
+    assert out.filter(F.col(S.PATCH_ID) < 50).count() == 0
+
+
+def test_dedup(spark, catalogue):
+    doubled = catalogue.unionByName(catalogue)
+    assert dedup_by_patch_id(doubled).count() == 200
+
+
+def test_sample_randomly_exact_and_capped(catalogue):
+    assert sample_randomly(catalogue, 10).count() == 10
+    assert sample_randomly(catalogue, 10_000).count() == 200
+
+
+def test_sample_n_per_stratum(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("patch_id"), F.pmod("id", F.lit(10)).alias("k")
+    )
+    out = sample_n_per_stratum(df, 3, keys=["k"], id_key="patch_id")
+    counts = out.groupBy("k").count().collect()
+    assert all(r["count"] == 3 for r in counts) and len(counts) == 10
+
+
+def test_stratified_round_robin_fairness(spark):
+    """Every stratum contributes min(size, fair share): 10 strata x 100
+    rows, n=55 => five strata give 6, five give 5."""
+    df = spark.range(1000).select(
+        F.col("id").alias("patch_id"), F.pmod("id", F.lit(10)).alias(S.FILE_ID)
+    )
+    out = sample_with_stratification(df, 55, keys=S.FILE_ID)
+    counts = sorted(r["count"] for r in out.groupBy(S.FILE_ID).count().collect())
+    assert sum(counts) == 55
+    assert counts == [5] * 5 + [6] * 5
+
+
+def test_stratified_small_strata_exhausted_first(spark):
+    """A stratum smaller than its fair share contributes all it has."""
+    df = spark.range(100).select(
+        F.col("id").alias("patch_id"),
+        F.when(F.col("id") < 3, "tiny").otherwise("big").alias(S.FILE_ID),
+    )
+    out = sample_with_stratification(df, 50, keys=S.FILE_ID)
+    counts = {r[S.FILE_ID]: r["count"] for r in out.groupBy(S.FILE_ID).count().collect()}
+    assert counts["tiny"] == 3
+    assert counts["big"] == 47
+
+
+def test_union_dedup_priority_first_wins(spark):
+    a = spark.createDataFrame([(1, "a"), (2, "a")], ["patch_id", "tag"])
+    b = spark.createDataFrame([(2, "b"), (3, "b")], ["patch_id", "tag"])
+    out = {r["patch_id"]: r["tag"] for r in union_dedup_priority([a, b]).collect()}
+    assert out == {1: "a", 2: "a", 3: "b"}
+
+
+def test_asof_nearest(spark):
+    left = spark.createDataFrame([(1, 10), (2, 100)], ["k", "lv"])
+    right = spark.createDataFrame(
+        [(1, 8, "x"), (1, 13, "y"), (2, 99, "z"), (2, 101, "w")], ["k", "rv", "tag"]
+    )
+    out = {r["k"]: r["tag"] for r in asof_nearest_join(left, right, "k", "lv", "rv").collect()}
+    assert out == {1: "x", 2: "z"}  # |8-10|=2 < |13-10|=3 ; tie 99/101 -> lower rv
+
+
+def test_distinct_on(spark):
+    df = spark.createDataFrame(
+        [(1, 2, "b"), (1, 1, "a"), (2, 5, "c")], ["k", "o", "v"]
+    )
+    out = {r["k"]: r["v"] for r in distinct_on(df, ["k"], ["o"]).collect()}
+    assert out == {1: "a", 2: "c"}
+
+
+def test_standardize_zero_ignoring_and_min_fill(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 20.0), (4, 30.0)], ["patch_id", "x"]
+    )
+    out = {r["patch_id"]: r["x"] for r in standardize(df, ["x"]).collect()}
+    # stats over non-zeros {10,20,30}: mean=20, std=10
+    assert out[2] == pytest.approx((10 - 20) / (10 + EPSILON))
+    assert out[3] == pytest.approx(0.0, abs=1e-6)
+    assert out[4] == pytest.approx((30 - 20) / (10 + EPSILON))
+    # zero filled with min of normalized values
+    assert out[1] == out[2]
+
+
+def test_standardize_nan_guard(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, None)], ["patch_id", "x"])
+    with pytest.raises(UnexpectedNaNValuesError):
+        assert_no_nan(df, ["x"])
+
+
+def test_quantile_transform_range_and_order(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], ["patch_id", "x"]
+    )
+    out = quantile_transform(df, ["x"], n_quantiles=10).collect()
+    vals = {r["patch_id"]: r["x"] for r in out}
+    assert vals[1] == pytest.approx(0.0)
+    assert vals[100] == pytest.approx(1.0)
+    assert vals[25] < vals[50] < vals[75]
+
+
+def test_fps_numpy_maxmin_property():
+    import numpy as np
+
+    # two far clusters + one outlier: FPS must visit all three groups fast
+    rng = [[0.0, 0.0], [0.1, 0.0], [10.0, 10.0], [10.1, 10.0], [100.0, 0.0]]
+    idx = fps_numpy(np.array(rng), 3)
+    assert idx[0] == 0  # seeded at first row
+    picked = {tuple(rng[i]) for i in idx}
+    assert (100.0, 0.0) in picked  # the farthest point is picked early
+    assert any(p[0] >= 10.0 and p[0] < 100 for p in picked)
+
+
+def test_fps_sample_spark_deterministic(catalogue):
+    sel1 = sorted(
+        r[S.PATCH_ID]
+        for r in fps_sample(
+            catalogue.select(S.PATCH_ID, S.FILE_ID, "nb_sol", "nb_bati"),
+            20,
+            ["nb_sol", "nb_bati"],
+            max_chunk_size=50,
+        ).collect()
+    )
+    sel2 = sorted(
+        r[S.PATCH_ID]
+        for r in fps_sample(
+            catalogue.repartition(7).select(S.PATCH_ID, S.FILE_ID, "nb_sol", "nb_bati"),
+            20,
+            ["nb_sol", "nb_bati"],
+            max_chunk_size=50,
+        ).collect()
+    )
+    assert sel1 == sel2
+    assert len(sel1) == 20

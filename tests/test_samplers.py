@@ -1,0 +1,143 @@
+"""Sampler contract tests — replicating the reference's assertions
+(tests/tests_pacasam/test_run_sampling.py:29-41,
+tests/tests_pacasam/samplers/test_targetted.py:8-33) on Spark outputs."""
+
+import math
+
+import pytest
+
+from pacasam_spark import schemas as S
+from pacasam_spark.samplers import (
+    CopySampler,
+    DiversitySampler,
+    OutliersSampler,
+    RandomSampler,
+    SpatialSampler,
+    TargettedSampler,
+    TripleSampler,
+)
+
+ALL_SAMPLERS = [
+    RandomSampler,
+    SpatialSampler,
+    TargettedSampler,
+    DiversitySampler,
+    OutliersSampler,
+    TripleSampler,
+    CopySampler,
+]
+
+
+@pytest.mark.parametrize("sampler_cls", ALL_SAMPLERS)
+def test_sampler_output_contract(sampler_cls, catalogue, config):
+    """E2E: non-empty, sampling schema present, ids unique and from the
+    catalogue (reference: test_run_sampling.py:29-41)."""
+    out = sampler_cls(catalogue, config).get_patches()
+    rows = out.collect()
+    assert len(rows) > 0
+    assert set(out.columns) >= {S.PATCH_ID, S.SPLIT, S.SAMPLER}
+    ids = [r[S.PATCH_ID] for r in rows]
+    assert len(ids) == len(set(ids))
+    cat_ids = {r[S.PATCH_ID] for r in catalogue.select(S.PATCH_ID).collect()}
+    assert set(ids) <= cat_ids
+
+
+def test_targetted_with_completion_exact_counts(catalogue, config):
+    """reference: test_targetted.py:8-21 — exact total, exact val count,
+    sampler set {TargettedSampler, SpatialSampler}."""
+    target = config["target_total_num_patches"]
+    out = TargettedSampler(catalogue, config).get_patches()
+    rows = out.collect()
+    assert len(rows) == target
+    n_val = sum(1 for r in rows if r[S.SPLIT] == "val")
+    assert n_val == math.floor(config["frac_validation_set"] * target)
+    assert {r[S.SAMPLER] for r in rows} == {"TargettedSampler", "SpatialSampler"}
+
+
+def test_targetted_without_completion(catalogue, config):
+    """reference: test_targetted.py:23-27 — 0 < n < target, only
+    TargettedSampler rows."""
+    target = config["target_total_num_patches"]
+    out = TargettedSampler(
+        catalogue, config, complete_with_spatial_sampling=False
+    ).get_patches()
+    rows = out.collect()
+    assert 0 < len(rows) < target
+    assert {r[S.SAMPLER] for r in rows} == {"TargettedSampler"}
+
+
+def test_targetted_overconstrained_warns_and_overshoots(catalogue, config):
+    """reference: test_targetted.py:29-33 — sum of constraints > 100%
+    => UserWarning + more than target selected."""
+    config["TargettedSampler"]["targets"] = {
+        "C3": {"target_min_samples_proportion": 3.0},
+    }
+    with pytest.warns(UserWarning):
+        out = TargettedSampler(catalogue, config).get_patches()
+        n = out.count()
+    assert n > config["target_total_num_patches"]
+
+
+def test_triple_sampler_exact_total_and_precedence(catalogue, config):
+    target = config["target_total_num_patches"]
+    rows = TripleSampler(catalogue, config).get_patches().collect()
+    assert len(rows) == target
+    assert {r[S.SAMPLER] for r in rows} <= {
+        "TargettedSampler",
+        "DiversitySampler",
+        "SpatialSampler",
+    }
+
+
+def test_random_sampler_exact_n_resampling(spark, catalogue, config):
+    """reference: test_run_sampling.py:61-73 — re-sampling n=2 from a tiny
+    previous sampling gives exactly 2."""
+    small = catalogue.limit(4)
+    config["target_total_num_patches"] = 2
+    out = RandomSampler(small, config).get_patches()
+    assert out.count() == 2
+
+
+def test_copy_sampler_full_copy_null_split(catalogue, config):
+    rows = CopySampler(catalogue, config).get_patches().collect()
+    assert len(rows) == catalogue.count()
+    assert all(r[S.SPLIT] is None for r in rows)
+    assert all(r[S.SAMPLER] == "CopySampler" for r in rows)
+
+
+def test_split_counts_random(catalogue, config):
+    rows = RandomSampler(catalogue, config).get_patches().collect()
+    n_val = sum(1 for r in rows if r[S.SPLIT] == "val")
+    assert n_val == math.floor(config["frac_validation_set"] * len(rows))
+    assert all(r[S.SPLIT] in ("train", "val") for r in rows)
+
+
+def test_determinism_same_seed_same_result(catalogue, config):
+    a = sorted(
+        (r[S.PATCH_ID], r[S.SPLIT])
+        for r in SpatialSampler(catalogue, config, seed=42).get_patches().collect()
+    )
+    b = sorted(
+        (r[S.PATCH_ID], r[S.SPLIT])
+        for r in SpatialSampler(catalogue, config, seed=42).get_patches().collect()
+    )
+    c = sorted(
+        (r[S.PATCH_ID], r[S.SPLIT])
+        for r in SpatialSampler(catalogue, config, seed=7).get_patches().collect()
+    )
+    assert a == b
+    assert a != c
+
+
+def test_determinism_partitioning_independent(catalogue, config):
+    """The north-rule core: same result regardless of partitioning."""
+    base = sorted(
+        r[S.PATCH_ID]
+        for r in SpatialSampler(catalogue, config).get_patches().collect()
+    )
+    repart = catalogue.repartition(13)
+    other = sorted(
+        r[S.PATCH_ID]
+        for r in SpatialSampler(repart, config).get_patches().collect()
+    )
+    assert base == other
