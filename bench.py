@@ -1,0 +1,110 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the north-metric
+sampling pipeline (TripleSampler over a synthetic catalogue).
+
+Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_query(df) -> int:
+    """Force full execution without driver collect cost: count via agg."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    db_size = int(os.environ.get("BENCH_CATALOGUE_SIZE", "400000"))
+    target = int(os.environ.get("BENCH_SAMPLING_TARGET", "20000"))
+
+    import __spark_entry__ as E
+    from pacasam_spark.samplers import TripleSampler
+    from pacasam_spark.session import get_spark
+    from pacasam_spark.sources.synthetic import synthetic_catalogue
+
+    spark = get_spark(app_name="pacasam_spark_bench", cores=cpus)
+
+    headline = [
+        "q01_pricing_summary",
+        "q03_extraction_join",
+        "q06_asof_nearest",
+        "q08_bool_rollup",
+        "q10_random_sample",
+        "q11_stratified_sample",
+        "q12_union_dedup_priority",
+        "q14_cell_index",
+        "q16_standardize",
+        "q17_percent_rank",
+    ]
+    queries = E.queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        run_query(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # North metric: full TripleSampler pipeline over a synthetic catalogue
+    # (threshold descriptor assignment at bench scale — the scale path).
+    cfg = {
+        "target_total_num_patches": target,
+        "frac_validation_set": 0.1,
+        "TargettedSampler": {
+            "targets": {
+                "C0": {"target_min_samples_proportion": 0.20},
+                "C1": {"target_min_samples_proportion": 0.05},
+                "C2": {"target_min_samples_proportion": 0.05},
+                "C3": {"target_min_samples_proportion": 0.2},
+            }
+        },
+        "DiversitySampler": {
+            "max_chunk_size_for_fps": 20000,
+            "normalization": "standardization",
+            "columns": [
+                "nb_sol", "nb_bati", "nb_vegetation_basse",
+                "nb_vegetation_moyenne", "nb_vegetation_haute",
+                "nb_pont", "nb_eau", "nb_sursol_perenne", "nb_non_classes",
+            ],
+        },
+    }
+    db = synthetic_catalogue(spark, db_size=db_size, exact_counts=False).cache()
+    db.count()  # materialize outside the timed section
+    t0 = time.perf_counter()
+    n_sampled = TripleSampler(db, cfg).get_patches().count()
+    dt = time.perf_counter() - t0
+    timings["triple_sampler_pipeline"] = round(dt, 3)
+    patches_per_sec = n_sampled / dt if dt > 0 else 0.0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total headline query + sampling pipeline wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "throughput": {
+                    "sampled_patches_per_sec": round(patches_per_sec, 1),
+                    "catalogue_size": db_size,
+                    "sampling_target": target,
+                    "n_sampled": n_sampled,
+                    "cpus": cpus,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,7 @@ def add_deterministic_chunk_ids(
     df: DataFrame,
     max_chunk_size: int,
     order_keys: tuple[str, str] = (S.FILE_ID, S.PATCH_ID),
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Assign chunk ids = floor(global_rank / max_chunk_size) under the
     (file_id, patch_id) total order, without a global window.
@@ -75,7 +76,8 @@ def add_deterministic_chunk_ids(
     broadcast back — the data itself only shuffles once, on file_id.
     """
     file_key, id_key = order_keys
-    counts = df.groupBy(file_key).count()
+    if counts is None:
+        counts = df.groupBy(file_key).count()
     w_files = Window.orderBy(file_key).rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )
@@ -110,14 +112,18 @@ def fps_sample(
     """
     file_key, id_key = order_keys
     keep = keep_cols or [id_key, file_key]
-    total = df.count()
+    # One pass computes the per-file counts; both the global total and the
+    # chunk offsets derive from the (tiny) counts table.
+    counts = df.groupBy(file_key).count().persist()
+    total_row = counts.agg(F.sum("count").alias("n")).first()
+    total = int(total_row["n"] or 0)
     if total == 0:
         return df.select(*keep).withColumn(CHUNK_ID, F.lit(0)).withColumn(
             FPS_RANK, F.lit(0)
         ).limit(0)
     proportion = num_to_sample / total
 
-    chunked = add_deterministic_chunk_ids(df, max_chunk_size, order_keys)
+    chunked = add_deterministic_chunk_ids(df, max_chunk_size, order_keys, counts=counts)
     cols = list(dict.fromkeys(keep + feature_cols + [CHUNK_ID, id_key, file_key]))
     chunked = chunked.select(*cols)
 

@@ -27,42 +27,74 @@ from pacasam_spark.operators.filters import assert_no_nan
 EPSILON = 1e-5  # reference: samplers/algos.py:14 (EPSILON = 10e-6)
 
 
-def standardize(df: DataFrame, columns: list[str], check_nan: bool = True) -> DataFrame:
-    """M1: zero-ignoring standardization with min-fill."""
-    if check_nan:
-        assert_no_nan(df, columns)
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
 
+
+def standardize(df: DataFrame, columns: list[str], check_nan: bool = True) -> DataFrame:
+    """M1: zero-ignoring standardization with min-fill — ONE aggregation
+    pass over the data.
+
+    Order-independent statistics: float avg()/stddev() depend on partition
+    merge order (non-associative fp addition), which would make downstream
+    FPS selections vary with cluster size. Exact sums instead:
+
+    - integral columns: plain long sum (exact to ~10^12 rows of 32-bit
+      values) + DECIMAL(38,0) sum of exact long squares;
+    - float columns: DECIMAL(38,6) sums (slower but exact).
+
+    The NaN guard and the min-fill value ride the same pass: the transform
+    is monotonic, so min(normalized) == normalize(min(masked)).
+    """
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     masked = {c: F.nullif(F.col(c).cast("double"), F.lit(0.0)) for c in columns}
-    # Order-independent statistics: float avg()/stddev() results depend on
-    # partition merge order (non-associative fp addition), which would make
-    # the downstream FPS selection vary with cluster size. DECIMAL sums are
-    # exact, so mean/std are bitwise identical at any parallelism.
-    dec = "decimal(38,6)"
-    stats_row = df.agg(
-        *[F.sum(masked[c].cast(dec)).alias(f"sum_{c}") for c in columns],
-        *[F.sum((masked[c] * masked[c]).cast(dec)).alias(f"ssq_{c}") for c in columns],
-        *[F.count(masked[c]).alias(f"cnt_{c}") for c in columns],
-    ).first()
+
+    aggs = []
+    for c in columns:
+        x = masked[c]
+        aggs += [
+            F.count(x).alias(f"cnt_{c}"),
+            F.min(x).alias(f"min_{c}"),
+            F.sum(
+                (F.col(c).isNull() | F.isnan(F.col(c).cast("double"))).cast("int")
+            ).alias(f"nan_{c}"),
+        ]
+        if types[c] in _INTEGRAL:
+            xi = F.nullif(F.col(c).cast("long"), F.lit(0))
+            aggs += [
+                F.sum(xi).alias(f"s_{c}"),
+                F.sum((xi * xi).cast("decimal(38,0)")).alias(f"ssq_{c}"),
+            ]
+        else:
+            dec = "decimal(38,6)"
+            aggs += [
+                F.sum(x.cast(dec)).alias(f"s_{c}"),
+                F.sum((x * x).cast(dec)).alias(f"ssq_{c}"),
+            ]
+    stats = df.agg(*aggs).first()
+
+    if check_nan:
+        bad = [c for c in columns if stats[f"nan_{c}"]]
+        if bad:
+            raise UnexpectedNaNValuesError(
+                f"NaN/NULL values in feature columns: {bad}"
+            )
 
     normed = df
     for c in columns:
-        n = stats_row[f"cnt_{c}"]
-        if not n:  # all zeros: normalized value is NULL -> filled below
-            normed = normed.withColumn(c, F.lit(None).cast("double"))
+        n = stats[f"cnt_{c}"]
+        if not n:  # all zeros -> all NULL -> fill 0 (reference algos.py:89)
+            normed = normed.withColumn(c, F.lit(0.0))
             continue
-        s, ssq = float(stats_row[f"sum_{c}"]), float(stats_row[f"ssq_{c}"])
+        s = float(stats[f"s_{c}"])
+        ssq = float(stats[f"ssq_{c}"])
         mean = s / n
         var = (ssq - n * mean * mean) / (n - 1) if n > 1 else 0.0
         std = var**0.5 if var > 0 else 0.0
+        fill = (stats[f"min_{c}"] - mean) / (std + EPSILON)
         normed = normed.withColumn(
-            c, (masked[c] - F.lit(mean)) / F.lit(std + EPSILON)
+            c,
+            F.coalesce((masked[c] - F.lit(mean)) / F.lit(std + EPSILON), F.lit(fill)),
         )
-
-    mins_row = normed.agg(*[F.min(c).alias(f"min_{c}") for c in columns]).first()
-    for c in columns:
-        fill = mins_row[f"min_{c}"]
-        fill = 0.0 if fill is None else fill
-        normed = normed.withColumn(c, F.coalesce(F.col(c), F.lit(fill)))
     return normed
 
 

@@ -31,6 +31,10 @@ def assign_split(
     """
     if not frac_validation_set:
         return selection.withColumn(S.SPLIT, F.lit("test"))
+    # The selection is consumed three times (count, val-sample, join);
+    # persisting caps the upstream pipeline (normalize/FPS/windows over the
+    # full catalogue) at ONE execution instead of three.
+    selection = selection.persist()
     n = selection.count()
     # epsilon guards float noise in rebalanced fractions, e.g.
     # (k/n)*n = k - 1e-12 must still floor to k

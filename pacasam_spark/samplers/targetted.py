@@ -40,8 +40,7 @@ class TargettedSampler(Sampler):
         target_total = self.cf["target_total_num_patches"]
         targets = self.sorted_targets(self.cf["TargettedSampler"]["targets"])
 
-        selections: list[DataFrame] = []
-        for i, (name, objectives) in enumerate(targets.items()):
+        def build_target(i: int, name: str, objectives: dict) -> DataFrame:
             matching = filter_by_boolean_descriptor(self.db, name).select(
                 S.PATCH_ID, S.FILE_ID
             )
@@ -51,7 +50,19 @@ class TargettedSampler(Sampler):
             sel = sample_with_stratification(
                 matching, quota, keys=S.FILE_ID, seed=self.seed + 7 * i
             )
-            selections.append(self._finalize(sel, seed_offset=7 * i + 1))
+            return self._finalize(sel, seed_offset=7 * i + 1)
+
+        # The per-target pipelines are independent; their driver-side
+        # barriers (counts in split assignment) run concurrently so the
+        # Spark scheduler overlaps the jobs instead of serializing latency.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, len(targets))) as pool:
+            futures = [
+                pool.submit(build_target, i, name, objectives)
+                for i, (name, objectives) in enumerate(targets.items())
+            ]
+            selections: list[DataFrame] = [f.result() for f in futures]
 
         # first-wins precedence on dedup, like concat order in the reference
         selection = union_dedup_priority(selections).persist()
