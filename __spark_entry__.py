@@ -509,6 +509,350 @@ Q19_SQL = stratified_sample_sql(
 
 
 # --------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text (documents, embeddings)
+# --------------------------------------------------------------------------
+
+_DUP_SHIFT = 100000
+
+_DDB_WORDS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str, limit: int | None = None) -> DataFrame:
+    """documents UNION ALL a shifted copy — guarantees duplicate content
+    so dedup operators have real work."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    if limit is not None:
+        docs = docs.filter(F.col("doc_id") < limit)
+    copy = docs.select((F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), "text")
+    return docs.unionByName(copy)
+
+
+_DUP_SQL = """
+  select doc_id, text from documents {where}
+  union all
+  select doc_id + 100000 as doc_id, text from documents {where}
+"""
+
+
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keep min doc_id per distinct text."""
+    from pacasam_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_dup_corpus(spark, sf_dir)).select("doc_id")
+
+
+Q20_SQL = f"""
+with corpus as ({_DUP_SQL.format(where='')}),
+r as (select doc_id, row_number() over (partition by md5(text) order by doc_id) as rn
+      from corpus)
+select doc_id from r where rn = 1
+"""
+
+
+def q21_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band signatures (3-gram shingles, 4 salted-md5 bands)."""
+    from pacasam_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return minhash_signatures(docs, bands=4)
+
+
+Q21_SQL = f"""
+with words as (
+  select doc_id, {_DDB_WORDS} as w from documents where doc_id < 100
+),
+sh as (
+  select distinct doc_id, array_to_string(list_slice(w, i, i + 2), ' ') as shingle
+  from words, unnest(range(1, greatest(len(w) - 1, 1))) as t(i)
+),
+banded as (
+  select doc_id, b.band, shingle
+  from sh, unnest([0, 1, 2, 3]) as b(band)
+)
+select doc_id, band, min(md5(concat(shingle, '#', band))) as sig
+from banded group by doc_id, band
+"""
+
+
+def q22_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (>=2 of 4 shared bands) over
+    the duplicated corpus — every (d, d+shift) pair must collide."""
+    from pacasam_spark.operators.dedup import lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(_dup_corpus(spark, sf_dir, limit=100))
+
+
+Q22_SQL = f"""
+with corpus as ({_DUP_SQL.format(where='where doc_id < 100')}),
+words as (select doc_id, {_DDB_WORDS} as w from corpus),
+sh as (
+  select distinct doc_id, array_to_string(list_slice(w, i, i + 2), ' ') as shingle
+  from words, unnest(range(1, greatest(len(w) - 1, 1))) as t(i)
+),
+banded as (
+  select doc_id, b.band, shingle from sh, unnest([0, 1, 2, 3]) as b(band)
+),
+sigs as (
+  select doc_id, band, min(md5(concat(shingle, '#', band))) as sig
+  from banded group by doc_id, band
+)
+select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_shared_bands
+from sigs a join sigs b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id
+group by 1, 2 having count(*) >= 2
+"""
+
+
+def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures from per-word md5 bits."""
+    from pacasam_spark.operators.dedup import simhash32
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash32(docs)
+
+
+def _q23_sql() -> str:
+    hexes = "('8','9','a','b','c','d','e','f')"
+    bits = ", ".join(
+        f"sum(case when substr(h, {j + 1}, 1) in {hexes} then 1 else -1 end) as b{j}"
+        for j in range(32)
+    )
+    val = " + ".join(f"(case when b{j} > 0 then {1 << j} else 0 end)" for j in range(32))
+    return f"""
+with tokens as (
+  select distinct doc_id, t.w from
+    (select doc_id, {_DDB_WORDS} as ws from documents where doc_id < 200),
+    unnest(ws) as t(w)
+),
+hashed as (select doc_id, md5(w) as h from tokens),
+bits as (select doc_id, {bits} from hashed group by doc_id)
+select doc_id, cast({val} as bigint) as simhash from bits
+"""
+
+
+Q23_SQL = _q23_sql()
+
+
+def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs >= 0.4 over the duplicated corpus."""
+    from pacasam_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_dup_corpus(spark, sf_dir, limit=100), threshold=0.4)
+
+
+Q24_SQL = f"""
+with corpus as ({_DUP_SQL.format(where='where doc_id < 100')}),
+words as (select doc_id, {_DDB_WORDS} as w from corpus),
+sh as (
+  select distinct doc_id, array_to_string(list_slice(w, i, i + 2), ' ') as shingle
+  from words, unnest(range(1, greatest(len(w) - 1, 1))) as t(i)
+),
+sizes as (select doc_id, count(*) as sz from sh group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select id_a, id_b, inter, sa.sz as sz_a, sb.sz as sz_b,
+       inter / (sa.sz + sb.sz - inter) as jaccard
+from inter
+join sizes sa on sa.doc_id = id_a
+join sizes sb on sb.doc_id = id_b
+where inter / (sa.sz + sb.sz - inter) >= 0.4
+"""
+
+
+def q25_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality metrics (pure exprs, no UDF)."""
+    from pacasam_spark.operators.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = "['the','a','of','and','to','in','is','it','that','for']"
+Q25_SQL = f"""
+with words as (select doc_id, text, {_DDB_WORDS} as w from documents)
+select doc_id,
+       len(w) as n_tokens,
+       len(list_distinct(w)) as n_distinct,
+       cast(len(list_distinct(w)) as double) / len(w) as type_token_ratio,
+       cast(list_reduce(list_transform(w, x -> cast(strlen(x) as int)), (a, b) -> a + b) as double)
+         / len(w) as mean_token_len,
+       cast(len(list_filter(w, x -> list_contains({_STOP_SQL}, x))) as double)
+         / len(w) as stopword_ratio,
+       cast(ceil(strlen(text) / 4) as bigint) as est_bpe_tokens
+from words
+"""
+
+
+def q26_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: function-word hit ratios + argmax."""
+    from pacasam_spark.operators.text import lang_scores
+
+    return lang_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q26_sql() -> str:
+    from pacasam_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        "cast(len(list_filter(w, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lg])
+        + f"], x))) as double) / len(w) as score_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    pred = "case " + " ".join(
+        f"when score_{lg} = {best} then '{lg}'" for lg in langs
+    ) + " end"
+    return f"""
+with words as (select doc_id, {_DDB_WORDS} as w from documents),
+scored as (select doc_id, {score_cols} from words)
+select *, {pred} as pred_lang from scored
+"""
+
+
+Q26_SQL = _q26_sql()
+
+
+def q27_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-min-sketch document fingerprint (winnowing analogue)."""
+    from pacasam_spark.operators.text import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+Q27_SQL = f"""
+with words as (select doc_id, {_DDB_WORDS} as w from documents),
+sh as (
+  select doc_id, list_transform(
+    range(1, greatest(len(w) - 1, 1)),
+    i -> md5(array_to_string(list_slice(w, i, i + 2), ' '))) as hashes
+  from words
+)
+select doc_id,
+       array_to_string(list_slice(list_sort(hashes), 1, 4), '|') as fingerprint
+from sh
+"""
+
+
+def q28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbours for 20 query vectors.
+    Dot products are left folds — bitwise identical to DuckDB."""
+    from pacasam_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return cosine_topk(emb, q, k=5)
+
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> cast(p[1] as double) * cast(p[2] as double)), (x, y) -> x + y)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_transform({a}, x -> cast(x as double) * cast(x as double)),"
+    " (x, y) -> x + y))"
+)
+Q28_SQL = f"""
+with q as (select vec_id as q_id, embedding as q_vec from embeddings where vec_id < 20),
+e as (select vec_id, embedding from embeddings),
+j as (
+  select q_id, vec_id,
+         {_DOT.format(a='embedding', b='q_vec')}
+           / ({_NORM.format(a='embedding')} * {_NORM.format(a='q_vec')}) as cos
+  from e, q where vec_id != q_id
+),
+r as (select *, row_number() over (partition by q_id order by cos desc, vec_id) as rank from j)
+select q_id, vec_id as neighbor_id, cos, rank from r where rank <= 5
+"""
+
+
+def q29_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.25 among the first 200."""
+    from pacasam_spark.operators.similarity import cosine_pairs_above
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return cosine_pairs_above(emb, 0.25)
+
+
+Q29_SQL = f"""
+with e as (select vec_id, embedding from embeddings where vec_id < 200)
+select a.vec_id as id_a, b.vec_id as id_b,
+       {_DOT.format(a='a.embedding', b='b.embedding')}
+         / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}) as cos
+from e a join e b on a.vec_id < b.vec_id
+where {_DOT.format(a='a.embedding', b='b.embedding')}
+        / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}) >= 0.25
+"""
+
+
+def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumulative session ids (the batch
+    analogue of session_window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet yields TIMESTAMP_NTZ which Spark 4 won't cast to long
+    # directly; hop through a (UTC-session) timestamp for epoch seconds.
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("sess_seq", F.sum(new_sess).over(wc))
+        .groupBy("user_id", "sess_seq")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+    )
+
+
+Q30_SQL = """
+with g as (
+  select user_id, ts, event_id,
+         case when epoch(ts) - lag(epoch(ts)) over w is null
+                or epoch(ts) - lag(epoch(ts)) over w > 1800
+              then 1 else 0 end as new_sess
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+s as (
+  select user_id, ts,
+         sum(new_sess) over (partition by user_id order by ts, event_id
+                             rows unbounded preceding) as sess_seq
+  from g
+)
+select user_id, sess_seq, count(*) as n_events, min(ts) as session_start
+from s group by user_id, sess_seq
+"""
+
+
+def q31_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (the batch twin of the streaming query in
+    pacasam_spark.streaming): hourly counts + exact decimal sums."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+Q31_SQL = """
+select date_trunc('hour', ts) as hour_start, event_type,
+       count(*) as n,
+       cast(sum(cast(value as decimal(27,4))) as double) as sum_value
+from events group by 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -533,6 +877,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_percent_rank": q17_percent_rank,
         "q18_synthetic_catalogue": q18_synthetic_catalogue,
         "q19_stratified_catalogue": q19_stratified_catalogue,
+        "q20_exact_dedup": q20_exact_dedup,
+        "q21_minhash_signatures": q21_minhash_signatures,
+        "q22_lsh_near_dup_pairs": q22_lsh_near_dup_pairs,
+        "q23_simhash": q23_simhash,
+        "q24_ngram_jaccard": q24_ngram_jaccard,
+        "q25_token_stats": q25_token_stats,
+        "q26_lang_scores": q26_lang_scores,
+        "q27_doc_fingerprint": q27_doc_fingerprint,
+        "q28_cosine_topk": q28_cosine_topk,
+        "q29_cosine_pairs": q29_cosine_pairs,
+        "q30_sessionize": q30_sessionize,
+        "q31_hourly_event_rollup": q31_hourly_event_rollup,
     }
 
 
@@ -557,4 +913,16 @@ def oracle_sql() -> dict[str, str]:
         "q17_percent_rank": Q17_SQL,
         "q18_synthetic_catalogue": Q18_SQL,
         "q19_stratified_catalogue": Q19_SQL,
+        "q20_exact_dedup": Q20_SQL,
+        "q21_minhash_signatures": Q21_SQL,
+        "q22_lsh_near_dup_pairs": Q22_SQL,
+        "q23_simhash": Q23_SQL,
+        "q24_ngram_jaccard": Q24_SQL,
+        "q25_token_stats": Q25_SQL,
+        "q26_lang_scores": Q26_SQL,
+        "q27_doc_fingerprint": Q27_SQL,
+        "q28_cosine_topk": Q28_SQL,
+        "q29_cosine_pairs": Q29_SQL,
+        "q30_sessionize": Q30_SQL,
+        "q31_hourly_event_rollup": Q31_SQL,
     }

@@ -1,0 +1,174 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design:
+- exact dedup: one shuffle on the content hash; keeps min id per group.
+- MinHash/LSH: signatures are per-doc aggregations (shuffle on doc_id);
+  candidate generation joins on (band, signature) — equi-join, never a
+  cartesian; verification is restricted to candidates.
+- Jaccard: exact pairwise via shingle equi-join — use ONLY downstream of
+  LSH candidates at scale (provided standalone for the oracle gate).
+- SimHash: 32-bit signature from per-word md5 bits; near-dup candidates
+  join on 8-bit bands (4 sub-bands => Hamming distance <= 3 guaranteed
+  recall by pigeonhole).
+
+Everything is md5-based, so the DuckDB oracle reproduces signatures
+byte-for-byte (md5 hex is identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pacasam_spark.operators.text import word_ngrams, words_col
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: keep the smallest id per distinct text.
+    One shuffle on md5(text)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) with distinct word n-gram shingles per doc."""
+    return (
+        df.select(id_col, F.explode(word_ngrams(words_col(F.col(text_col)), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash signature per (doc, band): the minimum md5 of the doc's
+    shingles salted with the band index — one permutation per band
+    (the string-min over a salted cryptographic hash IS a valid minhash
+    permutation). Output: (id, band, sig)."""
+    sh = shingle_table(df, text_col, id_col, n)
+    banded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "shingle",
+    )
+    return banded.groupBy(id_col, "band").agg(
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("band")))).alias("sig")
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 4,
+    min_shared_bands: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs sharing >= k of the band signatures.
+    Equi-join on (band, sig): docs only meet if a signature collides —
+    the LSH bucket join, linear in collisions, never quadratic."""
+    sigs = minhash_signatures(df, text_col, id_col, n, bands)
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= min_shared_bands)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+    |A ∩ B| from the shingle equi-join; |A|, |B| broadcast back."""
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        sh.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash32(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash per doc: bit j is the sign of the sum over distinct
+    words of ±1 according to bit j of md5(word) (the high bit of hex digit
+    j). Pure exprs + one shuffle on doc_id; identical in DuckDB."""
+    tokens = (
+        df.select(id_col, F.explode(words_col(F.col(text_col))).alias("w"))
+        .distinct()
+        .withColumn("h", F.md5("w"))
+    )
+    aggs = []
+    for j in range(32):
+        bit = F.substring("h", j + 1, 1).isin(*_HEX_HIGH)
+        aggs.append(F.sum(F.when(bit, 1).otherwise(-1)).alias(f"b{j}"))
+    sums = tokens.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(32):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def simhash_band_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dup candidates: docs sharing any of the four 8-bit
+    bands of the 32-bit signature (pigeonhole: catches all pairs with
+    Hamming distance <= 3)."""
+    sh = simhash32(df, text_col, id_col)
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "band_val", F.pmod((F.col("simhash") / F.pow(F.lit(2), F.col("band") * 8)).cast("long"), F.lit(256))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_val")
+    return (
+        a.join(b, on=["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "band")
+        .distinct()
+    )

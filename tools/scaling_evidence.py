@@ -1,0 +1,97 @@
+"""North-rule scaling evidence: the same sampling job on the same input at
+two parallelism levels (local[8] = N, local[32] = 4N), reporting
+throughput at both and the scaling efficiency.
+
+Each level runs in its own subprocess (one JVM per parallelism level).
+Results go to stdout as JSON; tools/write_bench_md.py formats BENCH.md.
+
+Usage: python tools/scaling_evidence.py [db_size] [target]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+cores, db_size, target, sampler_name = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+from pacasam_spark.session import get_spark
+from pacasam_spark.sources.synthetic import synthetic_catalogue
+from pacasam_spark.samplers import SAMPLER_REGISTRY
+
+Sampler = SAMPLER_REGISTRY[sampler_name]
+spark = get_spark(app_name=f"scaling_{cores}", cores=int(cores))
+cfg = {
+    "target_total_num_patches": target,
+    "frac_validation_set": 0.1,
+    "TargettedSampler": {"targets": {
+        "C0": {"target_min_samples_proportion": 0.20},
+        "C1": {"target_min_samples_proportion": 0.05},
+        "C2": {"target_min_samples_proportion": 0.05},
+        "C3": {"target_min_samples_proportion": 0.2}}},
+    "DiversitySampler": {"max_chunk_size_for_fps": 20000,
+        "normalization": "standardization",
+        "columns": ["nb_sol","nb_bati","nb_vegetation_basse",
+                    "nb_vegetation_moyenne","nb_vegetation_haute",
+                    "nb_pont","nb_eau","nb_sursol_perenne","nb_non_classes"]},
+}
+db = synthetic_catalogue(spark, db_size=db_size, exact_counts=False).cache()
+db.count()
+# Warm-up primes JVM/codegen/python workers. It MUST use a different
+# sampling size: Spark's CacheManager matches persisted plans by
+# canonicalized equality, so a warm-up with identical parameters would
+# hand its cached FPS selection to the measured run and fake the timing.
+wcfg = dict(cfg); wcfg["target_total_num_patches"] = max(100, target // 7)
+Sampler(db, wcfg, seed=1).get_patches().count()
+spark.catalog.clearCache()
+db = synthetic_catalogue(spark, db_size=db_size, exact_counts=False).cache()
+db.count()
+t0 = time.perf_counter()
+sel = Sampler(db, dict(cfg), seed=42).get_patches()
+ids = sorted(r.patch_id for r in sel.collect())
+dt = time.perf_counter() - t0
+import hashlib
+h = hashlib.md5(json.dumps(ids).encode()).hexdigest()
+print(json.dumps({"cores": int(cores), "sec": dt, "n": len(ids),
+                  "patches_per_sec": len(ids)/dt, "result_md5": h}))
+"""
+
+
+def run(cores: int, db_size: int, target: int, sampler: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cores), str(db_size), str(target), sampler],
+        capture_output=True, text=True, env={**os.environ},
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    db_size = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    target = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    sampler = sys.argv[3] if len(sys.argv) > 3 else "TripleSampler"
+    n = int(os.environ.get("SCALING_N", "4"))  # N and 4N executor threads
+    r_n = run(n, db_size, target, sampler)
+    r_4n = run(4 * n, db_size, target, sampler)
+    eff = r_4n["patches_per_sec"] / (4 * r_n["patches_per_sec"])
+    speedup = r_4n["patches_per_sec"] / r_n["patches_per_sec"]
+    report = {
+        "job": f"{sampler} {target} of {db_size}",
+        f"N_local{n}": r_n,
+        f"4N_local{4 * n}": r_4n,
+        "speedup_N_to_4N": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "identical_results": r_n["result_md5"] == r_4n["result_md5"],
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
