@@ -853,6 +853,143 @@ from events group by 1, 2
 
 
 # --------------------------------------------------------------------------
+# image catalogue / spatial join / non-SQL ops / streaming
+# --------------------------------------------------------------------------
+
+def q32_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image+caption catalogue metadata (bytes validated in pytest — the
+    PSNR/caption invariants; here the deterministic id/fmt/phash layer)."""
+    from pacasam_spark.sources.images import synthetic_images
+
+    return synthetic_images(spark, n=200, size=16).select(
+        "image_id", "w", "h", "fmt", "phash"
+    )
+
+
+def _q32_sql() -> str:
+    import math
+
+    from pacasam_spark.operators.hashing import det_hash_sql
+
+    g = math.ceil(math.sqrt(200))
+    fid = (
+        f"concat(cast(cast(floor((idx // {g}) * 50 / 1000) as bigint) as varchar),"
+        f" '_', cast(cast(floor((idx % {g}) * 50 / 1000) as bigint) as varchar))"
+    )
+    return f"""
+with ids as (select range as idx from range(200))
+select concat({fid}, '-', lpad(cast(idx as varchar), 9, '0')) as image_id,
+       cast(16 as int) as w, cast(16 as int) as h,
+       case when idx % 4 = 0 then 'q6' else 'png' end as fmt,
+       {det_hash_sql('idx', 777)} as phash
+from ids
+"""
+
+
+Q32_SQL = _q32_sql()
+
+
+def q33_zone_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 spatial containment: cell-coarse broadcast join + exact box test
+    (SURVEY §2.4 J9, §4.3-8)."""
+    from pacasam_spark.spatial.cells import join_points_to_zones, zone_cells
+
+    db = synthetic_catalogue(spark, db_size=2000).select(
+        "patch_id",
+        ((F.col("geom_xmin") + F.col("geom_xmax")) / 2).alias("cx"),
+        ((F.col("geom_ymin") + F.col("geom_ymax")) / 2).alias("cy"),
+    )
+    zones = [
+        ("zone_a", 0.0, 0.0, 600.0, 600.0),
+        ("zone_b", 500.0, 500.0, 1500.0, 1500.0),
+        ("zone_c", 2000.0, 0.0, 2300.0, 2300.0),
+    ]
+    zdf = zone_cells(spark, zones, level=0)
+    return join_points_to_zones(db, zdf, "cx", "cy", level=0).select(
+        "patch_id", "zone_id"
+    )
+
+
+Q33_SQL = f"""
+with cat as ({synthetic_catalogue_sql(db_size=2000)}),
+pts as (select patch_id, (geom_xmin + geom_xmax) / 2 as cx,
+               (geom_ymin + geom_ymax) / 2 as cy from cat),
+zones as (
+  select * from (values ('zone_a', 0.0, 0.0, 600.0, 600.0),
+                        ('zone_b', 500.0, 500.0, 1500.0, 1500.0),
+                        ('zone_c', 2000.0, 0.0, 2300.0, 2300.0))
+    as t(zone_id, xmin, ymin, xmax, ymax)
+)
+select patch_id, zone_id
+from pts join zones
+  on cx >= xmin and cx < xmax and cy >= ymin and cy < ymax
+"""
+
+
+def q34_fps_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/M4 chunked FPS — inherently sequential per chunk, not
+    SQL-expressible: rows-only check (determinism proven in pytest)."""
+    from pacasam_spark.operators.fps import fps_sample
+    from pacasam_spark.operators.normalize import standardize
+
+    cols = ["nb_sol", "nb_bati", "nb_eau", "nb_vegetation_haute"]
+    db = synthetic_catalogue(spark, db_size=2000).select(
+        "patch_id", "file_id", *cols
+    )
+    normed = standardize(db, cols)
+    return fps_sample(normed, 100, cols, max_chunk_size=500).select(
+        "patch_id", "file_id"
+    )
+
+
+def q35_triple_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 composite sampler — driver-loop quotas, rows-only check
+    (constraint-level assertions live in pytest)."""
+    from pacasam_spark.samplers import TripleSampler
+
+    db = synthetic_catalogue(spark, db_size=2000)
+    cfg = {
+        "target_total_num_patches": 300,
+        "frac_validation_set": 0.1,
+        "TargettedSampler": {
+            "targets": {
+                "C0": {"target_min_samples_proportion": 0.20},
+                "C1": {"target_min_samples_proportion": 0.05},
+                "C3": {"target_min_samples_proportion": 0.2},
+            }
+        },
+        "DiversitySampler": {
+            "max_chunk_size_for_fps": 500,
+            "normalization": "standardization",
+            "columns": ["nb_sol", "nb_bati", "nb_eau", "nb_vegetation_haute"],
+        },
+    }
+    return TripleSampler(db, cfg).get_patches()
+
+
+def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming rollup over bounded input == the batch result
+    => oracle-checkable with the same SQL as q31."""
+    from pacasam_spark.streaming.events import hourly_rollup_stream
+
+    return hourly_rollup_stream(spark, sf_dir)
+
+
+Q36_SQL = Q31_SQL
+
+
+def q37_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running counts; final state == batch
+    group-by count, so the oracle is plain SQL."""
+    from pacasam_spark.streaming.events import user_event_counts_stateful
+
+    return user_event_counts_stateful(spark, sf_dir)
+
+
+Q37_SQL = "select user_id, count(*) as n_events from events group by user_id"
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -889,6 +1026,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_cosine_pairs": q29_cosine_pairs,
         "q30_sessionize": q30_sessionize,
         "q31_hourly_event_rollup": q31_hourly_event_rollup,
+        "q32_image_metadata": q32_image_metadata,
+        "q33_zone_join": q33_zone_join,
+        "q34_fps_diversity": q34_fps_diversity,
+        "q35_triple_sampler": q35_triple_sampler,
+        "q36_streaming_hourly": q36_streaming_hourly,
+        "q37_stateful_user_counts": q37_stateful_user_counts,
     }
 
 
@@ -925,4 +1068,10 @@ def oracle_sql() -> dict[str, str]:
         "q29_cosine_pairs": Q29_SQL,
         "q30_sessionize": Q30_SQL,
         "q31_hourly_event_rollup": Q31_SQL,
+        "q32_image_metadata": Q32_SQL,
+        "q33_zone_join": Q33_SQL,
+        # q34/q35: non-SQL-expressible (sequential FPS; composite sampler
+        # with driver-loop quotas) -> rows-only checks by design.
+        "q36_streaming_hourly": Q36_SQL,
+        "q37_stateful_user_counts": Q37_SQL,
     }

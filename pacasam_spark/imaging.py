@@ -1,0 +1,137 @@
+"""Minimal image codecs + metrics — stdlib/numpy only (no PIL in the
+image; SURVEY.md §7 environment facts).
+
+Two formats cover the input_hint's lossless + lossy tiers:
+
+- ``png``: real PNG (RGB8, filter 0, zlib IDAT) — spec-compliant enough
+  for any external reader; decode is exact (lossless round-trip).
+- ``q6``:  6-bit-per-channel quantized + zlib — the deterministic lossy
+  tier. Max channel error is 2/255 => PSNR >= 10*log10(255^2 / E[e^2])
+  ≈ 47 dB, comfortably above the 40 dB invariant.
+
+Video/audio payloads are opaque binaries with typed metadata; their
+decoders are stubs (libs not in the container) with real Spark-side
+plumbing — see pacasam_spark.extract.images.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """RGB uint8 (H, W, 3) -> PNG bytes (color type 2, bit depth 8,
+    row filter 0)."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected uint8 (H,W,3), got {arr.dtype} {arr.shape}")
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> RGB uint8 (H, W, 3). Handles the subset this module
+    writes (filter 0, color type 2, depth 8) and validates CRCs."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    idat = b""
+    h = 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in chunk {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if (depth, ctype, interlace) != (8, 2, 0):
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w * 3 + 1)
+    if (raw[:, 0] != 0).any():
+        raise ValueError("unsupported PNG row filter")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def encode_q6(arr: np.ndarray) -> bytes:
+    """Lossy 6-bit quantization + zlib. Header: (w, h, channels)."""
+    h, w, c = arr.shape
+    q = (arr >> 2).astype(np.uint8)
+    return struct.pack(">IIB", w, h, c) + zlib.compress(q.tobytes(), 6)
+
+
+def decode_q6(data: bytes) -> np.ndarray:
+    w, h, c = struct.unpack(">IIB", data[:9])
+    q = np.frombuffer(zlib.decompress(data[9:]), np.uint8).reshape(h, w, c)
+    return ((q << 2) + 2).astype(np.uint8)  # mid-rise reconstruction
+
+
+CODECS = {
+    "png": (encode_png, decode_png),
+    "q6": (encode_q6, decode_q6),
+}
+
+
+def encode(arr: np.ndarray, fmt: str) -> bytes:
+    return CODECS[fmt][0](arr)
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt in ("jpg", "jpeg", "webp", "mp4", "wav"):
+        # Real-world codecs need libs absent from this container; the
+        # Spark-side plumbing (schema, batching, UDF signatures) is
+        # identical — swap the codec table entry on a cluster with PIL /
+        # ffmpeg available.
+        raise NotImplementedError(f"codec {fmt!r} stubbed in this environment")
+    return CODECS[fmt][1](data)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def synth_pixels(image_id: str, w: int = 32, h: int = 32) -> np.ndarray:
+    """Deterministic RGB pixels as a pure function of the image id —
+    seeded from md5(image_id), order/partition independent."""
+    import hashlib
+
+    seed = int.from_bytes(hashlib.md5(image_id.encode()).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    # add smooth structure so crops/resizes are visually meaningful
+    yy, xx = np.mgrid[0:h, 0:w]
+    wave = (127 + 128 * np.sin((xx + (seed % 97)) / 5.0) * np.cos(yy / 7.0)).astype(
+        np.uint8
+    )
+    return ((base.astype(np.uint16) + wave[..., None]) // 2).astype(np.uint8)

@@ -141,6 +141,27 @@ def fps_sample(
         return out
 
     selected = chunked.groupBy(CHUNK_ID).applyInPandas(run_chunk, schema=out_schema)
-    # reference trim: concat in chunk order then iloc[:n]
-    # (diversity.py:73-74) == order by (chunk, fps_rank) limit n.
-    return selected.orderBy(CHUNK_ID, FPS_RANK).limit(num_to_sample)
+
+    # Reference trim semantics: concat chunk outputs in chunk order, keep
+    # the first n (diversity.py:73-74). A global orderBy+limit would be a
+    # driver-side TakeOrdered merge of every chunk's output — serial and
+    # O(n * partitions). Instead the per-chunk keep-counts are computed
+    # arithmetically (chunk lengths are known: consecutive slices of the
+    # total order), so the trim is a broadcast-joined FILTER — fully
+    # distributed, identical result.
+    n_chunks = math.ceil(total / max_chunk_size)
+    keep_counts = []
+    remaining = num_to_sample
+    for i in range(n_chunks):
+        clen = min(max_chunk_size, total - i * max_chunk_size)
+        quota = min(math.ceil(clen * proportion), clen)
+        k = max(0, min(quota, remaining))
+        remaining -= k
+        keep_counts.append((i, k))
+    spark = df.sparkSession
+    limits = spark.createDataFrame(keep_counts, f"{CHUNK_ID} long, __keep int")
+    return (
+        selected.join(F.broadcast(limits), on=CHUNK_ID)
+        .filter(F.col(FPS_RANK) < F.col("__keep"))
+        .drop("__keep")
+    )

@@ -53,12 +53,21 @@ db = synthetic_catalogue(spark, db_size=db_size, exact_counts=False).cache()
 db.count()
 t0 = time.perf_counter()
 sel = Sampler(db, dict(cfg), seed=42).get_patches()
-ids = sorted(r.patch_id for r in sel.collect())
+# Result identity via a DISTRIBUTED order-independent checksum — a
+# collect() of the full selection would serialize n rows through the
+# driver and dominate the measurement at any core count.
+from pyspark.sql import functions as F
+from pacasam_spark.operators.hashing import det_hash
+row = sel.agg(
+    F.count("*").alias("n"),
+    F.sum(det_hash("patch_id", 99)).alias("hsum"),
+    F.sum(F.crc32(F.concat_ws("|", "patch_id", "split"))).alias("csum"),
+).first()
 dt = time.perf_counter() - t0
 import hashlib
-h = hashlib.md5(json.dumps(ids).encode()).hexdigest()
-print(json.dumps({"cores": int(cores), "sec": dt, "n": len(ids),
-                  "patches_per_sec": len(ids)/dt, "result_md5": h}))
+h = hashlib.md5(f"{row['n']}|{row['hsum']}|{row['csum']}".encode()).hexdigest()
+print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
+                  "patches_per_sec": row["n"]/dt, "result_md5": h}))
 """
 
 
