@@ -926,6 +926,21 @@ from pts join zones
 """
 
 
+def q38_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ingest-SQL showcase: J5-J8 joins, W1/W2 windows, A3
+    rollup, F6/F7 predicates, X1/X2 scalars in ONE composed pipeline
+    (reference: configs/Lipac_query.sql)."""
+    from pacasam_spark.sources.ingest_demo import ingest_parity
+
+    return ingest_parity(spark)
+
+
+def _q38_sql() -> str:
+    from pacasam_spark.sources.ingest_demo import ingest_parity_sql
+
+    return ingest_parity_sql()
+
+
 def q34_fps_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3/M4 chunked FPS — inherently sequential per chunk, not
     SQL-expressible: rows-only check (determinism proven in pytest)."""
@@ -1032,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_triple_sampler": q35_triple_sampler,
         "q36_streaming_hourly": q36_streaming_hourly,
         "q37_stateful_user_counts": q37_stateful_user_counts,
+        "q38_ingest_parity": q38_ingest_parity,
     }
 
 
@@ -1074,4 +1090,5 @@ def oracle_sql() -> dict[str, str]:
         # with driver-loop quotas) -> rows-only checks by design.
         "q36_streaming_hourly": Q36_SQL,
         "q37_stateful_user_counts": Q37_SQL,
+        "q38_ingest_parity": _q38_sql(),
     }

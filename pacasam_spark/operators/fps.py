@@ -51,13 +51,23 @@ def fps_numpy(arr: np.ndarray, num_to_sample: int) -> np.ndarray:
         return np.empty(0, dtype=int)
     selected = np.empty(num_to_sample, dtype=int)
     selected[0] = 0
-    min_d2 = ((arr - arr[0]) ** 2).sum(axis=1)
+    # |x - c|^2 = |x|^2 - 2 x.c + |c|^2 : the naive (arr - c)**2 form
+    # materializes two (N, d) temporaries per iteration (~5 MB/iter at
+    # chunk 20k) and is memory-bandwidth-bound when many executor workers
+    # run concurrently; the matvec form streams only arr once per
+    # iteration (~6x less traffic, same O(N*d) flops).
+    norms = np.einsum("ij,ij->i", arr, arr)
+    d_buf = np.empty(n)
+    min_d2 = norms - 2.0 * (arr @ arr[0]) + norms[0]
     min_d2[0] = -1.0  # never re-pick
     for i in range(1, num_to_sample):
         nxt = int(np.argmax(min_d2))
         selected[i] = nxt
-        d2 = ((arr - arr[nxt]) ** 2).sum(axis=1)
-        np.minimum(min_d2, d2, out=min_d2)
+        np.matmul(arr, arr[nxt], out=d_buf)
+        d_buf *= -2.0
+        d_buf += norms
+        d_buf += norms[nxt]
+        np.minimum(min_d2, d_buf, out=min_d2)
         min_d2[nxt] = -1.0
     return selected
 

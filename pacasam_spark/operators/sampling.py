@@ -57,6 +57,7 @@ def sample_with_stratification(
     keys: str | list[str] = S.FILE_ID,
     seed: int = 0,
     id_key: str = S.PATCH_ID,
+    distributed_trim_threshold: int = 20000,
 ) -> DataFrame:
     """M7: exact-n sample stratified by ``keys``
     (reference: samplers/algos.py:23-56).
@@ -70,18 +71,68 @@ def sample_with_stratification(
 
     Physical plan: one shuffle for the per-stratum window (partitioned by
     the strata keys — salt upstream if a stratum is hot, though strata are
-    ~400 patches in the reference data model), then TakeOrdered(n).
+    ~400 patches in the reference data model). The global cut is
+    TakeOrdered(n) for small n; for large n that merge is a serial
+    driver bottleneck, so the cut switches to a distributed
+    round-threshold trim (identical result, see
+    :func:`_round_threshold_trim`).
     """
     if isinstance(keys, str):
         keys = [keys]
     h = det_hash(id_key, seed)
     w = Window.partitionBy(*keys).orderBy(h, F.col(id_key))
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .orderBy(F.col("__rk"), h, F.col(id_key))
-        .limit(num_to_sample)
-        .drop("__rk")
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    if num_to_sample <= distributed_trim_threshold:
+        return (
+            ranked.orderBy(F.col("__rk"), h, F.col(id_key))
+            .limit(num_to_sample)
+            .drop("__rk")
+        )
+    return _round_threshold_trim(ranked, num_to_sample, keys, h, id_key)
+
+
+def _round_threshold_trim(ranked, num_to_sample, keys, h, id_key):
+    """Take the first n rows of the (round, hash) order WITHOUT a global
+    TakeOrdered: find the largest full round r with
+    sum(min(count_s, r)) <= n via binary search over the (tiny) per-strata
+    counts table, keep every row with rank <= r (a filter), and fill the
+    remainder from the boundary round r+1 ordered by hash (a TakeOrdered
+    of at most #strata rows). Identical to orderBy(rank, hash).limit(n).
+    """
+    counts = ranked.groupBy(*keys).agg(F.count("*").alias("__c")).persist()
+    max_round_row = counts.agg(
+        F.max("__c").alias("mx"), F.sum("__c").alias("total")
+    ).first()
+    max_round, total = int(max_round_row["mx"] or 0), int(max_round_row["total"] or 0)
+    if total <= num_to_sample:
+        counts.unpersist()
+        return ranked.drop("__rk")
+
+    def taken_at(r: int) -> int:
+        return int(
+            counts.agg(F.sum(F.least(F.col("__c"), F.lit(r)))).first()[0] or 0
+        )
+
+    lo, hi = 0, max_round  # invariant: taken_at(lo) <= n < taken_at(hi + 1)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if taken_at(mid) <= num_to_sample:
+            lo = mid
+        else:
+            hi = mid - 1
+    r = lo
+    remaining = num_to_sample - taken_at(r)
+    counts.unpersist()
+
+    base = ranked.filter(F.col("__rk") <= r)
+    if remaining == 0:
+        return base.drop("__rk")
+    boundary = (
+        ranked.filter(F.col("__rk") == r + 1)
+        .orderBy(h, F.col(id_key))
+        .limit(remaining)
     )
+    return base.unionByName(boundary).drop("__rk")
 
 
 def stratified_sample_sql(

@@ -96,6 +96,28 @@ def test_stratified_small_strata_exhausted_first(spark):
     assert counts["big"] == 47
 
 
+def test_stratified_distributed_trim_equivalence(spark):
+    """The round-threshold trim must equal the TakeOrdered path bitwise
+    (it replaces the driver merge for large n)."""
+    df = spark.range(5000).select(
+        F.col("id").alias("patch_id"), F.pmod("id", F.lit(37)).alias(S.FILE_ID)
+    )
+    for n in (100, 2500, 4999):
+        a = sorted(
+            r["patch_id"]
+            for r in sample_with_stratification(
+                df, n, distributed_trim_threshold=10**9
+            ).collect()
+        )
+        b = sorted(
+            r["patch_id"]
+            for r in sample_with_stratification(
+                df, n, distributed_trim_threshold=0
+            ).collect()
+        )
+        assert a == b and len(a) == n
+
+
 def test_union_dedup_priority_first_wins(spark):
     a = spark.createDataFrame([(1, "a"), (2, "a")], ["patch_id", "tag"])
     b = spark.createDataFrame([(2, "b"), (3, "b")], ["patch_id", "tag"])

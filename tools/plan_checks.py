@@ -1,0 +1,80 @@
+"""Physical-plan quality gate: assert the plans we WANT, not just plans
+that pass — pushdown reaching parquet, pruned read schemas, broadcast
+joins where a side is small, TakeOrdered for top-k, no stray shuffles.
+
+Run: python tools/plan_checks.py
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def check(name: str, cond: bool, detail: str = "") -> bool:
+    print(f"{'PASS' if cond else 'FAIL'}: {name}" + (f" — {detail}" if detail else ""))
+    return cond
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    from pacasam_spark.session import get_spark
+
+    spark = get_spark(cores=8)
+    sf = "/root/testdata/sf0.01"
+    ok = True
+
+    # q02: filters + projection must reach the parquet scan
+    p = plan_of(E.q02_derived_predicates(spark, sf))
+    ok &= check("q02 predicate pushdown", "PushedFilters: [" in p and "l_quantity" in p.split("PushedFilters")[1][:200])
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    ok &= check(
+        "q02 column pruning",
+        rs is not None and "l_shipdate" not in rs.group(1) and "l_tax" not in rs.group(1),
+        rs.group(1) if rs else "no ReadSchema",
+    )
+
+    # q03: selection side must broadcast
+    p = plan_of(E.q03_extraction_join(spark, sf))
+    ok &= check("q03 broadcast hash join", "BroadcastHashJoin" in p)
+
+    # q04/q05: anti/semi join strategies
+    p = plan_of(E.q04_anti_join(spark, sf))
+    ok &= check("q04 anti join", "LeftAnti" in p)
+    p = plan_of(E.q05_semi_join(spark, sf))
+    ok &= check("q05 semi join", "LeftSemi" in p)
+
+    # q09: global top-k must be TakeOrdered (no total sort)
+    p = plan_of(E.q09_topk(spark, sf))
+    ok &= check("q09 TakeOrderedAndProject", "TakeOrderedAndProject" in p)
+    ok &= check("q09 no global Sort", "Sort [" not in p)
+
+    # q11: exactly one exchange (the stratification window shuffle)
+    p = plan_of(E.q11_stratified_sample(spark, sf))
+    n_ex = p.count("Exchange")
+    ok &= check("q11 single shuffle", n_ex <= 2, f"{n_ex} Exchange nodes")
+
+    # q01: partial aggregation (map-side combine) present
+    p = plan_of(E.q01_pricing_summary(spark, sf))
+    ok &= check("q01 partial agg", "partial" in p.lower())
+    ok &= check("q01 whole-stage codegen", "WholeStageCodegen" in p)
+
+    # q33: zone join must be broadcast (cell-coarse), not cartesian
+    p = plan_of(E.q33_zone_join(spark, sf))
+    ok &= check("q33 broadcast zone join", "BroadcastHashJoin" in p)
+    ok &= check("q33 no cartesian", "Cartesian" not in p)
+
+    print("\nALL PASS" if ok else "\nSOME CHECKS FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

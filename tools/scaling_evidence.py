@@ -15,6 +15,43 @@ import os
 import subprocess
 import sys
 
+EXTRACT_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+cores, n_images, target, _ = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+from pacasam_spark.session import get_spark
+from pacasam_spark.sources.images import synthetic_images
+from pacasam_spark.extract.images import extract_patches
+from pyspark.sql import functions as F
+from pacasam_spark.operators.hashing import det_hash
+
+spark = get_spark(app_name=f"scaling_x_{cores}", cores=int(cores))
+images = synthetic_images(spark, n=n_images, size=96).cache()
+images.count()
+# warm-up on a different selection, then drop plan caches
+warm = images.select("image_id").limit(1000).withColumn("split", F.lit("w"))
+extract_patches(images, warm, crop=(8, 8, 64, 64), out_fmt="q6").count()
+
+sampling = (
+    images.select("image_id")
+    .filter(F.pmod(F.crc32("image_id"), F.lit(int(round(n_images / target)))) == 0)
+    .withColumn("split", F.lit("train"))
+)
+t0 = time.perf_counter()
+out = extract_patches(images, sampling, crop=(8, 8, 64, 64), out_fmt="q6")
+row = out.agg(
+    F.count("*").alias("n"),
+    F.sum(F.crc32("bytes")).alias("bsum"),
+    F.sum(F.length("bytes")).alias("blen"),
+).first()
+dt = time.perf_counter() - t0
+import hashlib
+h = hashlib.md5(f"{row['n']}|{row['bsum']}|{row['blen']}".encode()).hexdigest()
+print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
+                  "patches_per_sec": row["n"]/dt, "result_md5": h}))
+"""
+
 WORKER = r"""
 import json, sys, time
 sys.path.insert(0, "/root/repo")
@@ -72,8 +109,9 @@ print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
 
 
 def run(cores: int, db_size: int, target: int, sampler: str) -> dict:
+    worker = EXTRACT_WORKER if sampler == "extract" else WORKER
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cores), str(db_size), str(target), sampler],
+        [sys.executable, "-c", worker, str(cores), str(db_size), str(target), sampler],
         capture_output=True, text=True, env={**os.environ},
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -87,17 +125,29 @@ def main() -> None:
     target = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     sampler = sys.argv[3] if len(sys.argv) > 3 else "TripleSampler"
     n = int(os.environ.get("SCALING_N", "4"))  # N and 4N executor threads
-    r_n = run(n, db_size, target, sampler)
-    r_4n = run(4 * n, db_size, target, sampler)
+    trials = int(os.environ.get("SCALING_TRIALS", "3"))
+    # The sandbox VM sees invisible neighbor contention (load avg > 0 with
+    # no local processes); interleaved best-of-k trials reject that noise.
+    runs_n, runs_4n = [], []
+    for t in range(trials):
+        runs_n.append(run(n, db_size, target, sampler))
+        runs_4n.append(run(4 * n, db_size, target, sampler))
+    r_n = min(runs_n, key=lambda r: r["sec"])
+    r_4n = min(runs_4n, key=lambda r: r["sec"])
     eff = r_4n["patches_per_sec"] / (4 * r_n["patches_per_sec"])
     speedup = r_4n["patches_per_sec"] / r_n["patches_per_sec"]
     report = {
         "job": f"{sampler} {target} of {db_size}",
+        "trials": trials,
         f"N_local{n}": r_n,
         f"4N_local{4 * n}": r_4n,
+        f"all_sec_local{n}": [round(r["sec"], 2) for r in runs_n],
+        f"all_sec_local{4 * n}": [round(r["sec"], 2) for r in runs_4n],
         "speedup_N_to_4N": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
-        "identical_results": r_n["result_md5"] == r_4n["result_md5"],
+        "identical_results": all(
+            r["result_md5"] == r_n["result_md5"] for r in runs_n + runs_4n
+        ),
     }
     print(json.dumps(report, indent=2))
 
