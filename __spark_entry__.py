@@ -1004,6 +1004,55 @@ def q37_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q37_SQL = "select user_id, count(*) as n_events from events group by user_id"
 
 
+def q39_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bucketed kNN join over patch centroids (north rule: H3/S2 +
+    kNN). Same bucketing replayed by the oracle; brute-force equivalence
+    proven in pytest."""
+    from pacasam_spark.spatial.knn import knn_join
+
+    db = synthetic_catalogue(spark, db_size=4000).select(
+        "patch_id",
+        ((F.col("geom_xmin") + F.col("geom_xmax")) / 2).alias("cx"),
+        ((F.col("geom_ymin") + F.col("geom_ymax")) / 2).alias("cy"),
+    )
+    queries_df = db.filter(F.pmod("patch_id", F.lit(100)) == 0).select(
+        F.col("patch_id").alias("q_id"),
+        F.col("cx").alias("qx"),
+        F.col("cy").alias("qy"),
+    )
+    return knn_join(db, queries_df, k=5, level=0)
+
+
+def _q39_sql() -> str:
+    from pacasam_spark.spatial.knn import knn_join_sql
+
+    cat = synthetic_catalogue_sql(db_size=4000)
+    pts = (
+        f"select patch_id, (geom_xmin + geom_xmax) / 2 as cx,"
+        f" (geom_ymin + geom_ymax) / 2 as cy from ({cat})"
+    )
+    qs = (
+        f"select patch_id as q_id, cx as qx, cy as qy from ({pts})"
+        f" where patch_id % 100 = 0"
+    )
+    return knn_join_sql(pts, qs, k=5, level=0)
+
+
+def q40_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 (documented approximation): chunk-local kNN-density outlier
+    scores + deterministic FPS-medoid clusters — rows-only check, the
+    knowingly non-SQL operator (SURVEY §4.3-6)."""
+    from pacasam_spark.operators.normalize import standardize
+    from pacasam_spark.operators.outliers import knn_outlier_scores
+
+    cols = ["nb_sol", "nb_bati", "nb_eau", "nb_vegetation_haute"]
+    db = synthetic_catalogue(spark, db_size=2000).select(
+        "patch_id", "file_id", *cols
+    )
+    scored = knn_outlier_scores(standardize(db, cols), cols, k=20, max_chunk_size=500)
+    return scored.orderBy(F.desc("outlier_score"), "patch_id").limit(100)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1048,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_streaming_hourly": q36_streaming_hourly,
         "q37_stateful_user_counts": q37_stateful_user_counts,
         "q38_ingest_parity": q38_ingest_parity,
+        "q39_spatial_knn": q39_spatial_knn,
+        "q40_outlier_scores": q40_outlier_scores,
     }
 
 
@@ -1091,4 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         "q36_streaming_hourly": Q36_SQL,
         "q37_stateful_user_counts": Q37_SQL,
         "q38_ingest_parity": _q38_sql(),
+        "q39_spatial_knn": _q39_sql(),
+        # q40: chunk-local outlier scoring (numpy applyInPandas) ->
+        # rows-only by design.
     }
