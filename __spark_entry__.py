@@ -202,11 +202,16 @@ def q06_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(li, orders.o_orderkey == li.l_orderkey).withColumn(
         "day_dist", F.abs(F.datediff("l_shipdate", "o_orderdate") - F.lit(45))
     )
-    w = Window.partitionBy("o_orderkey").orderBy("day_dist", "l_linenumber")
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("o_orderkey", "l_linenumber", "day_dist")
+    # rank-1 == lexicographic min of (day_dist, l_linenumber): a hash
+    # aggregation with MAP-SIDE partial min instead of a sort-window —
+    # the post-join shuffle carries one row per order, not every lineitem.
+    best = joined.groupBy("o_orderkey").agg(
+        F.min(F.struct("day_dist", "l_linenumber")).alias("__b")
+    )
+    return best.select(
+        "o_orderkey",
+        F.col("__b.l_linenumber").alias("l_linenumber"),
+        F.col("__b.day_dist").alias("day_dist"),
     )
 
 
@@ -794,11 +799,14 @@ def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue of session_window)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet yields TIMESTAMP_NTZ which Spark 4 won't cast to long
-    # directly; hop through a (UTC-session) timestamp for epoch seconds.
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # Exact timestamp-interval comparison: an epoch-seconds cast truncates
+    # sub-second precision and flips session boundaries that straddle
+    # 1800 s by a fraction (round-1 q30 hash mismatch). Interval arithmetic
+    # keeps microseconds on both engines.
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
     wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -812,8 +820,8 @@ def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q30_SQL = """
 with g as (
   select user_id, ts, event_id,
-         case when epoch(ts) - lag(epoch(ts)) over w is null
-                or epoch(ts) - lag(epoch(ts)) over w > 1800
+         case when lag(ts) over w is null
+                or ts > lag(ts) over w + interval 30 minute
               then 1 else 0 end as new_sess
   from events
   window w as (partition by user_id order by ts, event_id)
