@@ -72,11 +72,17 @@ def fps_numpy(arr: np.ndarray, num_to_sample: int) -> np.ndarray:
     return selected
 
 
+SKEW_THRESHOLD_ROWS = 4_000_000  # per-file rows before the rank is split
+
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
 def add_deterministic_chunk_ids(
     df: DataFrame,
     max_chunk_size: int,
     order_keys: tuple[str, str] = (S.FILE_ID, S.PATCH_ID),
     counts: DataFrame | None = None,
+    skew_threshold: int = SKEW_THRESHOLD_ROWS,
 ) -> DataFrame:
     """Assign chunk ids = floor(global_rank / max_chunk_size) under the
     (file_id, patch_id) total order, without a global window.
@@ -84,6 +90,14 @@ def add_deterministic_chunk_ids(
     The per-file offsets come from a window over the DISTINCT-file count
     table (thousands of rows for billions of patches) which is then
     broadcast back — the data itself only shuffles once, on file_id.
+
+    Skew guard (SURVEY §4.3-7): Window.partitionBy(file_id) sorts each
+    file in ONE task; a hot file (> skew_threshold rows, detected on the
+    tiny counts table) would serialize. For integral ids the rank is then
+    split by a MONOTONE value bucket (id >> shift, <= 4096 buckets per
+    file): rank(row) = count of rows in lower buckets of the same file
+    (tiny offsets table, broadcast) + rank within (file, bucket). Exact
+    and order-preserving — identical chunk ids to the unsalted window.
     """
     file_key, id_key = order_keys
     if counts is None:
@@ -95,15 +109,45 @@ def add_deterministic_chunk_ids(
         "__offset", F.coalesce(F.sum("count").over(w_files), F.lit(0))
     ).select(file_key, "__offset")
 
-    w_in_file = Window.partitionBy(file_key).orderBy(id_key)
+    id_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[
+        id_key
+    ]
+    max_count = counts.agg(F.max("count")).first()[0] or 0
+    if max_count > skew_threshold and id_type in _INTEGRAL_TYPES:
+        rank_in_file = _bucketed_rank_in_file(df, file_key, id_key)
+    else:
+        w_in_file = Window.partitionBy(file_key).orderBy(id_key)
+        rank_in_file = df.withColumn("__rif", F.row_number().over(w_in_file))
     return (
-        df.join(F.broadcast(offsets), on=file_key)
+        rank_in_file.join(F.broadcast(offsets), on=file_key)
         .withColumn(
             CHUNK_ID,
-            ((F.col("__offset") + F.row_number().over(w_in_file) - 1) / max_chunk_size)
-            .cast("long"),
+            ((F.col("__offset") + F.col("__rif") - 1) / max_chunk_size).cast("long"),
         )
-        .drop("__offset")
+        .drop("__offset", "__rif")
+    )
+
+
+def _bucketed_rank_in_file(df: DataFrame, file_key: str, id_key: str) -> DataFrame:
+    """Exact rank of id_key within file_key without sorting any file in a
+    single task. Bucket = id >> shift is monotone in id, so
+    rank = (rows of the file in lower buckets) + rank within the bucket."""
+    max_id = df.agg(F.max(F.col(id_key).cast("long"))).first()[0] or 0
+    shift = max(0, int(max_id).bit_length() - 12)  # <= 4096 buckets per file
+    vb = F.shiftright(F.col(id_key).cast("long"), shift)
+    bucketed = df.withColumn("__vb", vb)
+    sub_counts = bucketed.groupBy(file_key, "__vb").count()
+    w_sub = Window.partitionBy(file_key).orderBy("__vb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    sub_off = sub_counts.withColumn(
+        "__suboff", F.coalesce(F.sum("count").over(w_sub), F.lit(0))
+    ).select(file_key, "__vb", "__suboff")
+    w_in = Window.partitionBy(file_key, "__vb").orderBy(id_key)
+    return (
+        bucketed.join(F.broadcast(sub_off), on=[file_key, "__vb"])
+        .withColumn("__rif", F.col("__suboff") + F.row_number().over(w_in))
+        .drop("__vb", "__suboff")
     )
 
 

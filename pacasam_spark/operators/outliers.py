@@ -28,6 +28,25 @@ from pacasam_spark.operators.fps import CHUNK_ID, add_deterministic_chunk_ids, f
 OUTLIER_SCORE = "outlier_score"
 CLUSTER_ID = "cluster_id"
 
+KNN_BLOCK_ROWS = 512  # rows-per-block: peak extra memory = block * n doubles
+
+
+def _blockwise_knn_mean(x: np.ndarray, kk: int) -> np.ndarray:
+    """Mean squared distance to the kk nearest neighbours of each row,
+    computed block-at-a-time (never the full n x n matrix)."""
+    n = len(x)
+    norms = np.einsum("ij,ij->i", x, x)
+    out = np.empty(n)
+    for i0 in range(0, n, KNN_BLOCK_ROWS):
+        i1 = min(i0 + KNN_BLOCK_ROWS, n)
+        d2b = norms[i0:i1, None] - 2.0 * (x[i0:i1] @ x.T) + norms[None, :]
+        d2b[np.arange(i1 - i0), np.arange(i0, i1)] = np.inf  # exclude self
+        part = np.partition(d2b, kk - 1, axis=1)[:, :kk]
+        # ascending-order summation: deterministic regardless of the
+        # partition pivot path numpy happened to take
+        out[i0:i1] = np.sort(part, axis=1).mean(axis=1)
+    return out
+
 
 def knn_outlier_scores(
     df: DataFrame,
@@ -54,15 +73,22 @@ def knn_outlier_scores(
         x = pdf[feature_cols].to_numpy(dtype=float)
         n = len(x)
         kk = min(k, n - 1) if n > 1 else 1
-        # pairwise distances chunk-locally (chunk <= max_chunk_size)
-        d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
-        np.fill_diagonal(d2, np.inf)
-        knn_mean = np.sort(d2, axis=1)[:, :kk].mean(axis=1) if n > 1 else np.zeros(n)
+        # Blockwise kNN: a full n x n distance matrix is 3.2 GB of doubles
+        # per task at the reference's production chunk of 20k — guaranteed
+        # OOM under concurrent tasks. Each block materializes only
+        # (block, n) via the matvec identity |a-b|^2 = |a|^2 - 2ab + |b|^2
+        # (O(n * block) memory, d-independent, same O(n^2 d) flops).
+        knn_mean = _blockwise_knn_mean(x, kk) if n > 1 else np.zeros(n)
         order = knn_mean.argsort().argsort()  # rank-normalize
         score = order / max(n - 1, 1)
-        # deterministic seeds via FPS (well-spread medoids), assign nearest
+        # deterministic seeds via FPS (well-spread medoids), assign nearest;
+        # distances to the <= n_clusters seeds only — (n, seeds), tiny
         seeds = fps_numpy(x, min(n_clusters, n))
-        assign = d2[:, seeds].argmin(axis=1) if len(seeds) else np.zeros(n, int)
+        if len(seeds):
+            ds = ((x[:, None, :] - x[seeds][None, :, :]) ** 2).sum(-1)
+            assign = ds.argmin(axis=1)
+        else:
+            assign = np.zeros(n, int)
         assign[seeds] = np.arange(len(seeds))
         out = pdf[keep].copy()
         out[CLUSTER_ID] = assign.astype("int32")

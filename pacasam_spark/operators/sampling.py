@@ -22,16 +22,65 @@ from pacasam_spark.operators.hashing import det_hash
 
 
 def sample_randomly(
-    df: DataFrame, n: int, seed: int = 0, key: str = S.PATCH_ID
+    df: DataFrame,
+    n: int,
+    seed: int = 0,
+    key: str = S.PATCH_ID,
+    distributed_trim_threshold: int = 20000,
 ) -> DataFrame:
     """M6: seeded no-replacement sample of min(n, count) rows
     (reference: samplers/algos.py:17-20).
 
-    Physical plan: TakeOrdered(n) — per-partition top-n then driver merge;
-    no global sort, no full shuffle. Scales to any input size for
-    reasonable n.
+    Physical plan for small n: TakeOrdered(n) — per-partition top-n then
+    driver merge. For n above ``distributed_trim_threshold`` the driver
+    merge of n rows per partition becomes the bottleneck, so the cut
+    switches to a hash-threshold trim (identical result, fully
+    distributed — see :func:`_hash_threshold_trim`).
     """
-    return df.orderBy(det_hash(key, seed), F.col(key)).limit(n)
+    h = det_hash(key, seed)
+    if n <= distributed_trim_threshold:
+        return df.orderBy(h, F.col(key)).limit(n)
+    return _hash_threshold_trim(df, n, h, key)
+
+
+_HASH_BUCKET = 1 << 16  # det_hash range is [0, 2^31) -> 32768 buckets
+
+
+def _hash_threshold_trim(df: DataFrame, n: int, h, key: str) -> DataFrame:
+    """The n smallest rows by (hash, key) WITHOUT a driver merge of n rows:
+    one aggregation builds a 32k-bucket histogram of the hash values, the
+    boundary bucket b* where the cumulative count crosses n is found on
+    that tiny table, and the result is
+    ``filter(hash < b* * B)  UNION  TakeOrdered(remaining)`` restricted to
+    the boundary bucket (at most ~count/32768 rows). Identical to
+    ``orderBy(hash, key).limit(n)``: every row below the boundary bucket
+    has a strictly smaller hash than any row inside it.
+    """
+    hashed = df.withColumn("__h", h)
+    hist = hashed.groupBy(
+        (F.col("__h") / F.lit(_HASH_BUCKET)).cast("long").alias("__b")
+    ).count()
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn("__cum", F.coalesce(F.sum("count").over(wb), F.lit(0)))
+    boundary = (
+        cum.filter((F.col("__cum") < n) & (F.col("__cum") + F.col("count") >= n))
+        .select("__b", "__cum")
+        .first()
+    )
+    if boundary is None:  # total count <= n: keep everything
+        return df
+    b_star, cum_before = int(boundary["__b"]), int(boundary["__cum"])
+    remaining = n - cum_before
+    base = hashed.filter(F.col("__h") < b_star * _HASH_BUCKET)
+    bnd = (
+        hashed.filter(
+            (F.col("__h") >= b_star * _HASH_BUCKET)
+            & (F.col("__h") < (b_star + 1) * _HASH_BUCKET)
+        )
+        .orderBy("__h", F.col(key))
+        .limit(remaining)
+    )
+    return base.unionByName(bnd).drop("__h")
 
 
 def sample_n_per_stratum(
@@ -58,6 +107,7 @@ def sample_with_stratification(
     seed: int = 0,
     id_key: str = S.PATCH_ID,
     distributed_trim_threshold: int = 20000,
+    salt: int = 0,
 ) -> DataFrame:
     """M7: exact-n sample stratified by ``keys``
     (reference: samplers/algos.py:23-56).
@@ -80,6 +130,8 @@ def sample_with_stratification(
     if isinstance(keys, str):
         keys = [keys]
     h = det_hash(id_key, seed)
+    if salt > 1:
+        df = _salted_rank_candidates(df, num_to_sample, keys, h, id_key, seed, salt)
     w = Window.partitionBy(*keys).orderBy(h, F.col(id_key))
     ranked = df.withColumn("__rk", F.row_number().over(w))
     if num_to_sample <= distributed_trim_threshold:
@@ -89,6 +141,25 @@ def sample_with_stratification(
             .drop("__rk")
         )
     return _round_threshold_trim(ranked, num_to_sample, keys, h, id_key)
+
+
+def _salted_rank_candidates(df, num_to_sample, keys, h, id_key, seed, salt):
+    """Skew guard for the per-stratum window (SURVEY §4.3-7): a hot
+    stratum otherwise sorts in ONE task. Rows are first ranked within
+    (stratum, salt-bucket) — ``salt`` independent sorts per stratum — and
+    only candidates with bucket-rank <= num_to_sample survive to the exact
+    window. Sound because a rank over a subset is <= the rank over the
+    stratum, and no taken row ever has stratum-rank > num_to_sample; the
+    exact window then sees at most salt * num_to_sample rows per stratum.
+    Result is IDENTICAL to the unsalted path (test-gated)."""
+    bucket = F.pmod(det_hash(id_key, seed + 982451653), F.lit(salt))
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(h, F.col(id_key))
+    return (
+        df.withColumn("__salt", bucket)
+        .withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= num_to_sample)
+        .drop("__salt", "__rk1")
+    )
 
 
 def _round_threshold_trim(ranked, num_to_sample, keys, h, id_key):

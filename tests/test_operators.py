@@ -25,6 +25,26 @@ from pacasam_spark.operators.sampling import (
 from pacasam_spark.operators.union import union_dedup_priority
 
 
+def test_sample_randomly_distributed_trim_identity(spark):
+    """Large-n random sampling must not driver-merge n rows per partition:
+    the hash-threshold trim is a filter + boundary-bucket TakeOrdered, and
+    its result is IDENTICAL to the TakeOrdered path."""
+    df = spark.range(300000).select(F.col("id").alias(S.PATCH_ID))
+    trimmed = sample_randomly(df, 150000, seed=5)  # distributed path
+    reference = sample_randomly(
+        df, 150000, seed=5, distributed_trim_threshold=10**9
+    )  # forced TakeOrdered path
+    assert trimmed.count() == 150000
+    assert trimmed.exceptAll(reference).count() == 0
+    assert reference.exceptAll(trimmed).count() == 0
+    # the big-side subplan must not TakeOrdered the full n — only the
+    # boundary bucket is ever sorted
+    plan = trimmed._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=150000" not in plan
+    # n >= total: keep everything
+    assert sample_randomly(df, 400000, seed=5).count() == 300000
+
+
 def test_filter_split_truth_table(catalogue):
     """reference: tests/tests_pacasam/connectors/test_lipac.py:13-36 —
     NaN => train; test = strictly true; any = all; invalid raises."""
@@ -205,3 +225,77 @@ def test_fps_sample_spark_deterministic(catalogue):
     )
     assert sel1 == sel2
     assert len(sel1) == 20
+
+
+def test_blockwise_knn_matches_full_matrix():
+    """_blockwise_knn_mean (O(n*block) memory) must equal the full n x n
+    matvec computation it replaced — blocking cannot change the result."""
+    import numpy as np
+
+    from pacasam_spark.operators.outliers import _blockwise_knn_mean
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1300, 4))  # > 2 blocks of 512
+    kk = 20
+    norms = np.einsum("ij,ij->i", x, x)
+    d2 = norms[:, None] - 2.0 * (x @ x.T) + norms[None, :]
+    np.fill_diagonal(d2, np.inf)
+    full = np.sort(np.partition(d2, kk - 1, axis=1)[:, :kk], axis=1).mean(axis=1)
+    block = _blockwise_knn_mean(x, kk)
+    assert np.array_equal(full, block)
+
+
+def test_knn_outlier_scores_deterministic_across_partitionings(catalogue):
+    from pacasam_spark.operators.normalize import standardize
+    from pacasam_spark.operators.outliers import knn_outlier_scores
+
+    cols = ["nb_sol", "nb_bati", "nb_eau", "nb_vegetation_haute"]
+    db = standardize(catalogue.select(S.PATCH_ID, S.FILE_ID, *cols), cols)
+    a = sorted(
+        (r[S.PATCH_ID], r["cluster_id"], r["outlier_score"])
+        for r in knn_outlier_scores(db, cols, k=10, max_chunk_size=60).collect()
+    )
+    b = sorted(
+        (r[S.PATCH_ID], r["cluster_id"], r["outlier_score"])
+        for r in knn_outlier_scores(
+            db.repartition(13), cols, k=10, max_chunk_size=60
+        ).collect()
+    )
+    assert a == b
+    assert len(a) == 200
+
+
+def test_stratified_salted_identical_on_skew(spark):
+    """100x-skewed stratum: the salted two-level rank must produce the
+    IDENTICAL sample while never sorting the hot stratum in one task."""
+    df = spark.range(10100).select(
+        F.col("id").alias("patch_id"),
+        F.when(F.col("id") < 10000, "hot").otherwise(
+            F.concat(F.lit("s"), (F.col("id") % 5).cast("string"))
+        ).alias(S.FILE_ID),
+    )
+    for n in (60, 900):
+        plain = sorted(
+            r["patch_id"] for r in sample_with_stratification(df, n, seed=3).collect()
+        )
+        salted = sorted(
+            r["patch_id"]
+            for r in sample_with_stratification(df, n, seed=3, salt=8).collect()
+        )
+        assert plain == salted and len(plain) == n
+
+
+def test_bucketed_rank_identical_chunk_ids(spark):
+    """Hot-file skew guard: value-bucketed ranks give the same chunk ids
+    as the single-task window."""
+    from pacasam_spark.operators.fps import CHUNK_ID, add_deterministic_chunk_ids
+
+    df = spark.range(5000).select(
+        (F.col("id") * 37 % 99991).alias("patch_id"),  # non-dense ids
+        F.when(F.col("id") < 4500, "hot").otherwise("cold").alias(S.FILE_ID),
+    ).distinct()
+    plain = add_deterministic_chunk_ids(df, 256, skew_threshold=10**9)
+    bucketed = add_deterministic_chunk_ids(df, 256, skew_threshold=1000)
+    a = sorted((r["patch_id"], r[CHUNK_ID]) for r in plain.collect())
+    b = sorted((r["patch_id"], r[CHUNK_ID]) for r in bucketed.collect())
+    assert a == b
