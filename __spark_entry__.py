@@ -794,6 +794,158 @@ where {_DOT.format(a='a.embedding', b='b.embedding')}
 """
 
 
+def q41_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multi-probe hyperplane-LSH ANN top-3 — the production
+    ANN path (candidates meet in (table, bucket) equi-joins, never a cross
+    product). The oracle replays the identical LSH in DuckDB from the same
+    md5-derived sign literals; recall >= 0.9 vs brute force is pytest-gated
+    (tests/test_operators.py)."""
+    from pacasam_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_cosine_topk(
+        emb, q, k=3, n_planes=Q41_PLANES, n_tables=Q41_TABLES, dim=64
+    )
+
+
+Q41_PLANES, Q41_TABLES = 6, 10
+
+
+def _q41_sql() -> str:
+    from pacasam_spark.operators.similarity import hyperplane_signs
+
+    def bucket_sql(vec: str, table: int) -> str:
+        bits = []
+        for p in range(Q41_PLANES):
+            signs = hyperplane_signs(table * Q41_PLANES + p, 64)
+            s_lit = "[" + ", ".join(str(s) for s in signs) + "]"
+            dot = (
+                f"list_reduce(list_transform(list_zip({vec}, {s_lit}),"
+                " p -> cast(p[1] as double) * p[2]), (x, y) -> x + y)"
+            )
+            bits.append(f"(case when {dot} >= 0 then {1 << p} else 0 end)")
+        return "(" + " + ".join(bits) + ")"
+
+    data_tables = "\n  union all\n".join(
+        f"  select vec_id, embedding, {t} as tbl,"
+        f" {bucket_sql('embedding', t)} as bucket from e"
+        for t in range(Q41_TABLES)
+    )
+    q_tables = "\n  union all\n".join(
+        f"  select q_id, q_vec, {t} as tbl,"
+        f" {bucket_sql('q_vec', t)} as bucket from q"
+        for t in range(Q41_TABLES)
+    )
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << i})" for i in range(Q41_PLANES)
+    ) + "]"
+    cos = (
+        f"{_DOT.format(a='embedding', b='q_vec')}"
+        f" / ({_NORM.format(a='embedding')} * {_NORM.format(a='q_vec')})"
+    )
+    return f"""
+with q as (select vec_id as q_id, embedding as q_vec from embeddings where vec_id < 20),
+e as (select vec_id, embedding from embeddings),
+dt as (
+{data_tables}
+),
+qb as (
+{q_tables}
+),
+qt as (
+  select q_id, q_vec, tbl, pr.probe as bucket
+  from qb, unnest({probe_list}) as pr(probe)
+),
+cand as (
+  select distinct q_id, q_vec, vec_id, embedding
+  from dt join qt using (tbl, bucket)
+  where q_id != vec_id
+),
+scored as (
+  select q_id, vec_id, {cos} as cos from cand
+),
+r as (
+  select *, row_number() over (partition by q_id order by cos desc, vec_id) as rank
+  from scored
+)
+select q_id, vec_id as neighbor_id, cos, rank from r where rank <= 3
+"""
+
+
+Q42_DB_SIZE, Q42_NQ = 2000, 20
+Q42_COLS = ("nb_sol", "nb_eau")
+
+
+def _q42_grids() -> dict[str, list[float]]:
+    """Quantile grids for q42, regenerated driver-side in pure Python from
+    the same det_int values the synthetic catalogue holds — embedded as
+    identical literals in BOTH engines so the interp is bitwise-gated."""
+    import numpy as np
+
+    from pacasam_spark import schemas as S
+    from pacasam_spark.operators.hashing import det_int_py
+    from pacasam_spark.sources.synthetic import NB_MAX
+
+    probs = list(np.linspace(0.0, 1.0, Q42_NQ))
+    grids = {}
+    for c in Q42_COLS:
+        j = S.NB_POINT_COLS.index(c)
+        vals = sorted(
+            v
+            for i in range(Q42_DB_SIZE)
+            if (v := det_int_py(i, 0, NB_MAX, 42 * 2000 + j)) != 0
+        )
+        grids[c] = [float(x) for x in np.quantile(vals, probs)]
+    return grids
+
+
+def q42_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 quantile transform itself (not just the percent_rank twin):
+    zero-ignoring grid+interp to uniform [0,1] as pure column expressions
+    (reference: samplers/algos.py:84-85). Grid literals are shared with
+    the oracle; the interp expression trees are text-identical."""
+    from pacasam_spark.operators.normalize import quantile_transform
+
+    db = synthetic_catalogue(spark, db_size=Q42_DB_SIZE).select(
+        "patch_id", *Q42_COLS
+    )
+    out = quantile_transform(db, list(Q42_COLS), grids=_q42_grids(), check_nan=False)
+    return out.select(
+        "patch_id",
+        F.col("nb_sol").alias("qt_sol"),
+        F.col("nb_eau").alias("qt_eau"),
+    )
+
+
+def _q42_sql() -> str:
+    import numpy as np
+
+    from pacasam_spark.operators.normalize import interp_sql
+
+    grids = _q42_grids()
+    exprs = []
+    for c, alias in zip(Q42_COLS, ("qt_sol", "qt_eau")):
+        grid = grids[c]
+        refs = list(np.linspace(0.0, 1.0, len(grid)))
+        exprs.append(
+            interp_sql(f"nullif(cast({c} as double), 0.0)", grid, refs)
+            + f" as {alias}"
+        )
+    cat = synthetic_catalogue_sql(db_size=Q42_DB_SIZE)
+    return f"""
+with cat as ({cat}),
+t as (select patch_id, {', '.join(exprs)} from cat),
+mins as (select min(qt_sol) as m_sol, min(qt_eau) as m_eau from t)
+select patch_id,
+       coalesce(qt_sol, coalesce(mins.m_sol, 0.0)) as qt_sol,
+       coalesce(qt_eau, coalesce(mins.m_eau, 0.0)) as qt_eau
+from t, mins
+"""
+
+
 def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag + gap>30min cumulative session ids (the batch
     analogue of session_window)."""
@@ -1107,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_ingest_parity": q38_ingest_parity,
         "q39_spatial_knn": q39_spatial_knn,
         "q40_outlier_scores": q40_outlier_scores,
+        "q41_lsh_ann_topk": q41_lsh_ann_topk,
+        "q42_quantile_transform": q42_quantile_transform,
     }
 
 
@@ -1153,4 +1307,6 @@ def oracle_sql() -> dict[str, str]:
         "q39_spatial_knn": _q39_sql(),
         # q40: chunk-local outlier scoring (numpy applyInPandas) ->
         # rows-only by design.
+        "q41_lsh_ann_topk": _q41_sql(),
+        "q42_quantile_transform": _q42_sql(),
     }

@@ -64,6 +64,20 @@ def det_hash_sql(key_expr: str, seed: int = 0) -> str:
     return f"xor({c}, {c} // 131072)"
 
 
+def det_hash_py(key: int, seed: int = 0) -> int:
+    """Pure-Python twin of :func:`det_hash` (same values bit-for-bit) —
+    lets oracle-SQL generators regenerate synthetic columns driver-side."""
+    a = (key * KNUTH + seed * SEED_MIX % MERSENNE31) % MERSENNE31
+    b = a ^ (a // 8192)
+    c = (b * MINSTD) % MERSENNE31
+    return c ^ (c // 131072)
+
+
+def det_int_py(key: int, lo: int, hi: int, seed: int = 0) -> int:
+    """Pure-Python twin of :func:`det_int`."""
+    return det_hash_py(key, seed) % (hi - lo) + lo
+
+
 def det_uniform(key: Column | str, seed: int = 0) -> Column:
     """Deterministic uniform double in [0, 1)."""
     return det_hash(key, seed).cast("double") / F.lit(float(MERSENNE31))

@@ -10,15 +10,13 @@ Spark design: two aggregate passes (stats, then mins of the normalized
 values) broadcast back as literals — no shuffle of the data itself, all
 column arithmetic stays in whole-stage codegen. The quantile variant builds
 a per-column grid with ``approxQuantile`` (exact at relativeError=0) and
-interpolates in a vectorized pandas UDF (the only Python hop, Arrow-batched).
+interpolates with pure fold/element_at expressions (:func:`interp_expr`) —
+also codegen, no Python hop, and text-identical to the DuckDB oracle twin.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -98,56 +96,82 @@ def standardize(df: DataFrame, columns: list[str], check_nan: bool = True) -> Da
     return normed
 
 
+def interp_expr(v, grid: list[float], refs: list[float]):
+    """Piecewise-linear interpolation of ``v`` onto (grid -> refs) as a
+    pure column expression (whole-stage codegen — no Python hop). Clamps
+    outside the grid; NULL passes through. :func:`interp_sql` is the
+    text-identical DuckDB twin, so results are bitwise equal."""
+    garr = F.array(*[F.lit(float(g)) for g in grid])
+    rarr = F.array(*[F.lit(float(r)) for r in refs])
+    idx = F.size(F.filter(garr, lambda g: g <= v))  # grid values <= v
+    lo, hi = F.element_at(garr, idx), F.element_at(garr, idx + F.lit(1))
+    rlo, rhi = F.element_at(rarr, idx), F.element_at(rarr, idx + F.lit(1))
+    res = rlo + (v - lo) * (rhi - rlo) / (hi - lo)
+    return (
+        F.when(v.isNull(), F.lit(None).cast("double"))
+        .when(v <= F.lit(float(grid[0])), F.lit(float(refs[0])))
+        .when(v >= F.lit(float(grid[-1])), F.lit(float(refs[-1])))
+        .otherwise(res)
+    )
+
+
+def interp_sql(v: str, grid: list[float], refs: list[float]) -> str:
+    """DuckDB twin of :func:`interp_expr` (same expression tree)."""
+    glist = "[" + ", ".join(repr(float(g)) for g in grid) + "]"
+    rlist = "[" + ", ".join(repr(float(r)) for r in refs) + "]"
+    idx = f"len(list_filter({glist}, g -> g <= {v}))"
+    lo, hi = f"list_extract({glist}, {idx})", f"list_extract({glist}, {idx} + 1)"
+    rlo, rhi = f"list_extract({rlist}, {idx})", f"list_extract({rlist}, {idx} + 1)"
+    res = f"{rlo} + ({v} - {lo}) * ({rhi} - {rlo}) / ({hi} - {lo})"
+    return (
+        f"(case when {v} is null then null"
+        f" when {v} <= {float(grid[0])!r} then {float(refs[0])!r}"
+        f" when {v} >= {float(grid[-1])!r} then {float(refs[-1])!r}"
+        f" else {res} end)"
+    )
+
+
 def quantile_transform(
     df: DataFrame,
     columns: list[str],
     n_quantiles: int = 50,
     check_nan: bool = True,
+    grids: dict[str, list[float]] | None = None,
 ) -> DataFrame:
     """M2: empirical-CDF transform to uniform [0,1], zero-ignoring, min-fill.
 
     Mirrors sklearn's QuantileTransformer grid+interp shape
     (reference: samplers/algos.py:84-85) without the library: the grid is
-    ``n_quantiles`` exact quantiles of the non-zero values; values map by
-    linear interpolation. Deterministic — no subsample cap needed at our
-    scale (the reference caps at 100k rows).
+    ``n_quantiles`` exact quantiles of the non-zero values (or caller-
+    supplied ``grids``); values map by linear interpolation computed as
+    PURE column expressions — whole-stage codegen, no Python hop, and
+    ANSI-SQL expressible for the oracle (driver q42). Deterministic — no
+    subsample cap needed at our scale (the reference caps at 100k rows).
     """
     if check_nan:
         assert_no_nan(df, columns)
 
-    masked = df.select(
-        *[F.nullif(F.col(c).cast("double"), F.lit(0.0)).alias(c) for c in columns]
-    )
-    probs = list(np.linspace(0.0, 1.0, n_quantiles))
-    grids = masked.approxQuantile(columns, probs, 0.0)  # exact
-    grid_by_col = dict(zip(columns, grids))
+    masked = {c: F.nullif(F.col(c).cast("double"), F.lit(0.0)) for c in columns}
+    if grids is None:
+        mdf = df.select(*[masked[c].alias(c) for c in columns])
+        probs = list(np.linspace(0.0, 1.0, n_quantiles))
+        grids = dict(zip(columns, mdf.approxQuantile(columns, probs, 0.0)))
 
-    out_fields = ", ".join(
-        f"{f.name} double" if f.name in columns else f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields
-    )
+    normed = df
+    for c in columns:
+        grid = [float(x) for x in grids[c]]
+        if not grid:  # all zeros -> all NULL -> fill 0 (algos.py:89)
+            normed = normed.withColumn(c, F.lit(0.0))
+            continue
+        refs = list(np.linspace(0.0, 1.0, len(grid)))
+        normed = normed.withColumn(c, interp_expr(masked[c], grid, refs))
 
-    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        refs = np.linspace(0.0, 1.0, n_quantiles)
-        for pdf in batches:
-            for c in columns:
-                grid = np.asarray(grid_by_col[c], dtype=float)
-                v = pdf[c].astype(float).to_numpy()
-                nonzero = v != 0.0
-                res = np.full(len(v), np.nan)
-                if grid.size:
-                    res[nonzero] = np.interp(v[nonzero], grid, refs[: grid.size])
-                pdf[c] = res
-            yield pdf
-
-    normed = df.mapInPandas(transform, schema=out_fields)
     mins_row = normed.agg(
-        *[F.min(F.when(~F.isnan(c), F.col(c))).alias(f"min_{c}") for c in columns]
+        *[F.min(c).alias(f"min_{c}") for c in columns]
     ).first()
     for c in columns:
         fill = mins_row[f"min_{c}"]
-        fill = 0.0 if fill is None else fill
         normed = normed.withColumn(
-            c, F.when(F.isnan(c), F.lit(fill)).otherwise(F.col(c))
+            c, F.coalesce(F.col(c), F.lit(0.0 if fill is None else float(fill)))
         )
     return normed

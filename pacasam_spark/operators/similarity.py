@@ -76,6 +76,20 @@ def cosine_pairs_above(
     )
 
 
+def hyperplane_signs(plane: int, dim: int) -> list[float]:
+    """The +-1 entries of hyperplane ``plane`` as Python floats — the same
+    md5 rule as :func:`_hyperplane_sign` (which Catalyst constant-folds to
+    these values). Used to generate the DuckDB oracle's sign literals."""
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"p{plane}d{d}".encode()).hexdigest()[0] >= "8"
+        else -1.0
+        for d in range(dim)
+    ]
+
+
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     """Sign of <vec, h_plane> where h_plane has deterministic ±1 entries:
     entry d = +1 iff the first hex digit of md5('p{plane}d{d}') >= '8'.
@@ -99,20 +113,28 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     return (dot >= 0).cast("int")
 
 
+def _bucket_expr(vec: Column, n_planes: int, dim: int, table: int = 0) -> Column:
+    """n_planes sign bits packed into an int; plane ids are offset by the
+    table index so every table is an independent hash family."""
+    bucket = None
+    for p in range(n_planes):
+        bit = _hyperplane_sign(vec, table * n_planes + p, dim) * (1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
 def hyperplane_lsh_buckets(
     emb: DataFrame,
     n_planes: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    table: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector: n_planes sign bits
     packed into an int. Vectors with high cosine collide with high
     probability; ANN = groupBy/join on bucket, then exact re-rank."""
-    bucket = None
-    for p in range(n_planes):
-        bit = _hyperplane_sign(F.col(vec_col), p, dim) * (1 << p)
-        bucket = bit if bucket is None else bucket + bit
+    bucket = _bucket_expr(F.col(vec_col), n_planes, dim, table)
     return emb.select(id_col, vec_col, bucket.alias("bucket"))
 
 
@@ -121,32 +143,124 @@ def lsh_cosine_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 6,
+    n_tables: int = 10,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """ANN top-k: candidates share the query's LSH bucket; exact cosine
-    re-rank within the bucket. Recall < 1 by construction — pair with
-    multi-probe (flip one bit) for production recall."""
-    data_b = hyperplane_lsh_buckets(emb, n_planes, dim, id_col, vec_col)
-    q_b = hyperplane_lsh_buckets(
-        queries.withColumnRenamed("q_vec", vec_col).withColumnRenamed("q_id", id_col),
-        n_planes,
-        dim,
-        id_col,
-        vec_col,
-    ).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    """ANN top-k: multi-table, multi-probe hyperplane LSH + exact cosine
+    re-rank of the candidates. The production shape for 100 TB: every
+    candidate meets in a (table, bucket) EQUI-join — never a cross
+    product.
+
+    Recall for a neighbour whose per-plane disagreement probability is p:
+    per table P(hamming <= 1) = (1-p)^r + r*p*(1-p)^(r-1) with multi-probe
+    (flip-one-bit), and 1 - (1 - that)^L over L tables — tune (r, L) to
+    the data. Defaults hit recall >= 0.9 even on near-random vectors
+    (p ~ 0.4, the hardest case; clustered production embeddings prune far
+    better). Deterministic: planes derive from md5 bits, no RNG state.
+    """
+    # All L*r plane dots in ONE transform over the literal sign matrix:
+    # the lambda is code-generated once and looped, instead of inlining
+    # L*r copies of a 64-element fold (which blows past the JIT method
+    # limit and falls back to interpreted evaluation). Fold order per
+    # plane is identical to _hyperplane_sign — bitwise-same buckets.
+    planes = [
+        hyperplane_signs(t * n_planes + p, dim)
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+    smat = F.array(*[F.array(*[F.lit(s) for s in row]) for row in planes])
+
+    def all_dots(vec: Column) -> Column:
+        return F.transform(
+            smat,
+            lambda srow: F.aggregate(
+                F.zip_with(vec, srow, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    def bucket_of(dots: Column, t: int) -> Column:
+        bucket = None
+        for p in range(n_planes):
+            bit = (
+                F.element_at(dots, t * n_planes + p + 1) >= 0
+            ).cast("int") * (1 << p)
+            bucket = bit if bucket is None else bucket + bit
+        return bucket
+
+    # data side: one row per (vector, table) with that table's bucket
+    data_tb = (
+        emb.withColumn("__dots", all_dots(F.col(vec_col)))
+        .select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            bucket_of(F.col("__dots"), t).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("__tb"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.col("__tb.tbl").alias("tbl"),
+            F.col("__tb.bucket").alias("bucket"),
+        )
     )
-    joined = data_b.join(F.broadcast(q_b), on="bucket").filter(
-        F.col("q_id") != F.col(id_col)
+
+    # query side: one row per (query, table, probe bucket)
+    def probes(t: int) -> list[Column]:
+        b = bucket_of(F.col("__dots"), t)
+        out = [F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))]
+        if multi_probe:
+            out += [
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    b.bitwiseXOR(F.lit(1 << i)).alias("bucket"),
+                )
+                for i in range(n_planes)
+            ]
+        return out
+
+    q_tb = (
+        queries.withColumn("__dots", all_dots(F.col("q_vec")))
+        .select(
+            "q_id",
+            "q_vec",
+            F.explode(
+                F.array(*[s for t in range(n_tables) for s in probes(t)])
+            ).alias("__tb"),
+        )
+        .select(
+            "q_id",
+            "q_vec",
+            F.col("__tb.tbl").alias("tbl"),
+            F.col("__tb.bucket").alias("bucket"),
+        )
+    )
+
+    cand = (
+        data_tb.join(F.broadcast(q_tb), on=["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col(id_col))
+        .select("q_id", "q_vec", id_col, vec_col)
+        .distinct()  # a pair can collide in several tables/probes
     )
     cos = _dot(F.col(vec_col), F.col("q_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), id_col)
     return (
-        joined.withColumn("cos", cos)
+        cand.withColumn("cos", cos)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")

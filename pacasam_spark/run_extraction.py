@@ -1,0 +1,93 @@
+"""Dataset extraction entrypoint (reference: src/pacasam/run_extraction.py).
+
+sampling parquet -> resume anti-join -> decode/crop/re-encode
+(extractor from the registry) -> one {SPLIT}-{id}.{ext} file per patch
+under dataset_root/split/, plus a manifest (checkpoint) and per-task
+lineage metrics.
+
+  python -m pacasam_spark.run_extraction \
+      --sampling_path /tmp/s/sampling --images_path /tmp/images.parquet \
+      --dataset_root_path /tmp/dataset --extractor_class ImagePatchExtractor
+
+The reference parallelizes with --num_jobs processes
+(run_extraction.py:43); here parallelism is the cluster itself —
+--num-partitions controls task fan-out (spark-submit scales it to
+executors).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import functions as F
+
+from pacasam_spark.session import get_spark
+from pacasam_spark.sources.files import load_sampling
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("-s", "--sampling_path", required=True,
+                   help="sampling parquet with (patch_id|image_id, split)")
+    p.add_argument("--images_path", required=True,
+                   help="image catalogue parquet (image_id, bytes, w, h, fmt, caption)")
+    p.add_argument("-d", "--dataset_root_path", required=True)
+    p.add_argument("--extractor_class", default="ImagePatchExtractor",
+                   choices=["ImagePatchExtractor"])
+    p.add_argument("--out_fmt", default=None, help="re-encode codec (default: keep)")
+    p.add_argument("--crop", default=None, help="x0,y0,w,h crop window")
+    p.add_argument("--num-partitions", type=int, default=0,
+                   help="repartition the work (0 = leave to the source/AQE)")
+    return p
+
+
+def run(args: argparse.Namespace) -> dict:
+    from pacasam_spark.extract.filesink import write_patch_files
+    from pacasam_spark.extract.images import extract_patches, resume_filter
+
+    spark = get_spark(app_name=f"run_extraction_{args.extractor_class}")
+    sampling = load_sampling(spark, args.sampling_path)
+    if "image_id" not in sampling.columns:  # catalogue samplings key on patch_id
+        sampling = sampling.withColumn(
+            "image_id", F.col("patch_id").cast("string")
+        )
+    images = spark.read.parquet(args.images_path)
+
+    manifest_dir = f"{args.dataset_root_path}/_manifest"
+    try:
+        manifest = spark.read.parquet(manifest_dir)
+    except Exception:
+        manifest = None
+    todo = resume_filter(sampling.select("image_id", "split"), manifest)
+    if args.num_partitions:
+        todo = todo.repartition(args.num_partitions, "image_id")
+
+    crop = tuple(int(v) for v in args.crop.split(",")) if args.crop else None
+    extracted = extract_patches(images, todo, crop=crop, out_fmt=args.out_fmt).persist()
+
+    ext = args.out_fmt or "bin"
+    files = write_patch_files(extracted, args.dataset_root_path, ext=ext)
+    n_written = files.filter("written").count()
+    n_skipped_files = files.filter("not written").count()
+    # manifest append LAST: writing to its path invalidates cached plans
+    # that read it (recache-by-path)
+    extracted.select("image_id").write.mode("append").parquet(manifest_dir)
+    extracted.unpersist()
+
+    summary = {
+        "extractor": args.extractor_class,
+        "written": n_written,
+        "skipped_existing_files": n_skipped_files,
+        "dataset_root": args.dataset_root_path,
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+def main(argv: list[str] | None = None) -> None:
+    run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

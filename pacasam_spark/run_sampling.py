@@ -1,24 +1,34 @@
-"""End-to-end sampling entrypoint (reference: run_sampling.py).
+"""End-to-end sampling entrypoint (reference: src/pacasam/run_sampling.py).
 
-catalogue -> sampler -> extraction join back to the catalogue -> parquet
-sampling + comparison reports. The reference's gpkg tmp-copy atomicity
-(sampler.py:68-85) maps to Spark's atomic directory commit protocol.
+The reference's query IS the YAML config: a connector class, a sampler
+class, and per-sampler blocks (reference run_sampling.py:23-41,
+configs/Synthetic.yml). This CLI reproduces that workflow Spark-first:
 
-Usage:
-  python -m pacasam_spark.run_sampling --sampler TripleSampler \
-      --db-size 10000 --target 500 --output /tmp/sampling
+  python -m pacasam_spark.run_sampling --config configs/synthetic.yml \
+      --connector_class SyntheticConnector --sampler_class TripleSampler \
+      --output /tmp/sampling
+
+catalogue (connector) -> sampler -> extraction join back to the
+catalogue -> atomic parquet sampling + comparison reports + a copy of
+the config next to the outputs (provenance, reference run_sampling.py:44).
+The legacy flag-driven mode (--db-size/--target, no --config) is kept for
+quick synthetic runs.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import shutil
 
 from pyspark.sql import functions as F
 
+from pacasam_spark.config import CONNECTORS_REGISTRY, load_sampling_config
 from pacasam_spark.plans.stats import write_comparison_reports
 from pacasam_spark.samplers import SAMPLER_REGISTRY
 from pacasam_spark.session import get_spark
+from pacasam_spark.sources.files import save_sampling
 from pacasam_spark.sources.synthetic import synthetic_catalogue
 
 DEFAULT_CONFIG = {
@@ -51,37 +61,75 @@ DEFAULT_CONFIG = {
 }
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
-    p.add_argument("--sampler", default="TripleSampler", choices=sorted(SAMPLER_REGISTRY))
+    p.add_argument("--config", default=None, help="YAML sampling config (reference workflow)")
+    p.add_argument(
+        "--connector_class", default="SyntheticConnector",
+        choices=sorted(CONNECTORS_REGISTRY),
+    )
+    p.add_argument(
+        "--sampler_class", "--sampler", dest="sampler_class",
+        default="TripleSampler", choices=sorted(SAMPLER_REGISTRY),
+    )
+    p.add_argument("--output", required=True)
+    p.add_argument("--seed", type=int, default=42)
+    # legacy flag-driven mode (no --config)
     p.add_argument("--db-size", type=int, default=10000)
     p.add_argument("--target", type=int, default=500)
-    p.add_argument("--output", required=True)
     p.add_argument("--split", default="train", choices=["train", "test", "any"])
-    p.add_argument("--seed", type=int, default=42)
-    args = p.parse_args()
+    return p
 
-    spark = get_spark(app_name=f"run_sampling_{args.sampler}")
-    cfg = json.loads(json.dumps(DEFAULT_CONFIG))
-    cfg["target_total_num_patches"] = args.target
 
-    from pacasam_spark.operators.filters import filter_split
+def run(args: argparse.Namespace) -> dict:
+    spark = get_spark(app_name=f"run_sampling_{args.sampler_class}")
 
-    db = filter_split(
-        synthetic_catalogue(spark, db_size=args.db_size, exact_counts=False),
-        args.split,
-    ).cache()
+    if args.config:
+        cfg = load_sampling_config(args.config)
+        connector_kwargs = dict(cfg.get("connector_kwargs") or {})
+        connector = CONNECTORS_REGISTRY[args.connector_class]
+        db = connector(spark, seed=args.seed, **connector_kwargs).cache()
+        split_name = connector_kwargs.get("split", "any")
+    else:
+        from pacasam_spark.operators.filters import filter_split
 
-    sampler = SAMPLER_REGISTRY[args.sampler](db, cfg, seed=args.seed)
+        cfg = json.loads(json.dumps(DEFAULT_CONFIG))
+        cfg["target_total_num_patches"] = args.target
+        db = filter_split(
+            synthetic_catalogue(spark, db_size=args.db_size, exact_counts=False),
+            args.split,
+        ).cache()
+        split_name = args.split
+
+    sampler = SAMPLER_REGISTRY[args.sampler_class](db, cfg, seed=args.seed)
     sampling = sampler.get_patches().persist()
 
     # extraction join back to the full catalogue (J1;
     # reference: connectors/connector.py:48-51, run_sampling.py:58)
     extracted = db.join(F.broadcast(sampling), "patch_id")
-    extracted.write.mode("overwrite").parquet(f"{args.output}/sampling")
+    task_name = f"{args.connector_class}-{args.sampler_class}-{split_name}"
+    sampling_path = f"{args.output}/{task_name}"
+    save_sampling(extracted, sampling_path)
     reports = write_comparison_reports(db, extracted, f"{args.output}/stats")
+
+    if args.config:  # provenance copy (reference run_sampling.py:44-46)
+        os.makedirs(args.output, exist_ok=True)
+        shutil.copy(args.config, os.path.join(args.output, os.path.basename(args.config)))
+
     n = sampling.count()
-    print(json.dumps({"sampler": args.sampler, "n_sampled": n, "reports": reports}))
+    summary = {
+        "sampler": args.sampler_class,
+        "connector": args.connector_class,
+        "n_sampled": n,
+        "sampling_path": sampling_path,
+        "reports": reports,
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+def main(argv: list[str] | None = None) -> None:
+    run(build_parser().parse_args(argv))
 
 
 if __name__ == "__main__":

@@ -37,8 +37,10 @@ def check_sampling_format(df: DataFrame) -> None:
     columns when destined for extraction)
     (reference: extractors/extractor.py:51-73)."""
     fields = {f.name: f.dataType for f in df.schema.fields}
-    if S.PATCH_ID not in fields:
-        raise SamplingFormatError(f"missing column {S.PATCH_ID!r}")
+    # patch_id for catalogue samplings; image_id for the image+caption
+    # table (BASELINE.json input_hint) — either identifies the patch
+    if S.PATCH_ID not in fields and "image_id" not in fields:
+        raise SamplingFormatError(f"missing column {S.PATCH_ID!r} (or image_id)")
     if S.SPLIT not in fields:
         raise SamplingFormatError(f"missing column {S.SPLIT!r}")
     if not isinstance(fields[S.SPLIT], T.StringType):

@@ -91,3 +91,42 @@ def test_extraction_resume_and_metrics(spark, images, tmp_path):
     agg = metrics.agg(F.sum("n_rows").alias("n"), F.sum("n_bytes").alias("b")).first()
     assert agg["n"] == 30
     assert agg["b"] > 0
+
+
+def test_jl_codec_real_quantization_loss_above_40db():
+    """The jpeg-lite tier: real DCT quantization loss (not bit
+    truncation), deterministic, PSNR >= 40 dB at the default quality —
+    the lossy invariant from BASELINE.json input_hint."""
+    import numpy as np
+
+    from pacasam_spark.imaging import decode_jl, encode_jl
+
+    for i in range(5):
+        a = synth_pixels(f"jl-{i}", 33, 47)  # non-multiple-of-8 dims
+        payload = encode_jl(a)
+        b = decode_jl(payload)
+        assert b.shape == a.shape
+        assert psnr(a, b) >= 40.0
+        assert not np.array_equal(a, b)  # genuinely lossy
+        assert payload == encode_jl(a)  # deterministic
+        # decode(encode(decode)) is stable (idempotent loss model)
+        assert psnr(b, decode_jl(encode_jl(b))) > psnr(a, b)
+
+
+def test_extract_reencode_to_jl(spark):
+    """E3 re-encode with the DCT tier through the Spark pipeline."""
+    from pacasam_spark.extract.images import extract_patches
+    from pacasam_spark.sources.images import synthetic_images
+
+    images = synthetic_images(spark, n=12, size=16)
+    sampling = images.select("image_id").withColumn("split", F.lit("train"))
+    out = extract_patches(images, sampling, out_fmt="jl")
+    rows = out.collect()
+    assert len(rows) == 12
+    for r in rows:
+        arr = decode(bytes(r.bytes), "jl")
+        ref = synth_pixels(r.image_id, 16, 16)
+        # source may itself be lossy (q6): compare against the decoded
+        # source tier, allowing the jl loss on top
+        assert psnr(ref, arr) >= 38.0
+        assert r.fmt == "jl"

@@ -1,0 +1,127 @@
+"""CLI parity tests (reference: tests_pacasam/test_run_sampling.py:29-41,
+test_run_extraction.py:10-79): YAML-config-driven sampling end-to-end and
+extraction with {SPLIT}-{id} files + resume."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pacasam_spark.config import load_sampling_config
+from pacasam_spark.extract.wms import fetch_with_retry, wms_extract
+
+CONFIG = "/root/repo/configs/synthetic.yml"
+
+
+def test_run_sampling_config_driven(spark, tmp_path):
+    """The reference Synthetic.yml workflow: config + connector + sampler
+    names -> sampling parquet with exactly target patches, stats reports,
+    provenance copy of the config."""
+    from pacasam_spark.run_sampling import main
+
+    out = str(tmp_path / "out")
+    main([
+        "--config", CONFIG,
+        "--connector_class", "SyntheticConnector",
+        "--sampler_class", "TripleSampler",
+        "--output", out,
+    ])
+    cfg = load_sampling_config(CONFIG)
+    sampling = spark.read.parquet(
+        f"{out}/SyntheticConnector-TripleSampler-train"
+    )
+    assert sampling.count() == cfg["target_total_num_patches"]
+    assert {"patch_id", "split", "sampler"}.issubset(set(sampling.columns))
+    # extraction join carried the full catalogue row
+    assert "nb_sol" in sampling.columns
+    assert os.path.exists(f"{out}/synthetic.yml")  # provenance
+    assert os.path.isdir(f"{out}/stats")
+
+
+def test_run_sampling_each_sampler_class(spark, tmp_path):
+    from pacasam_spark.run_sampling import main
+
+    for sampler in ("RandomSampler", "TargettedSampler"):
+        out = str(tmp_path / sampler)
+        main([
+            "--config", CONFIG,
+            "--sampler_class", sampler,
+            "--output", out,
+        ])
+        n = spark.read.parquet(f"{out}/SyntheticConnector-{sampler}-train").count()
+        assert n == 50
+
+
+@pytest.fixture()
+def sampling_and_images(spark, tmp_path):
+    from pacasam_spark.sources.images import synthetic_images
+
+    images = synthetic_images(spark, n=40, size=8)
+    images_path = str(tmp_path / "images.parquet")
+    images.write.parquet(images_path)
+    sampling = images.select("image_id").limit(20).withColumn(
+        "split", F.when(F.col("image_id").substr(-1, 1) < "5", "train").otherwise("val")
+    )
+    sampling_path = str(tmp_path / "sampling")
+    sampling.write.parquet(sampling_path)
+    return sampling_path, images_path
+
+
+def test_run_extraction_cli_and_resume(spark, tmp_path, sampling_and_images):
+    """{SPLIT}-{id}.{ext} files under split dirs; a second run extracts
+    nothing (manifest resume) and overwrites no file (existence skip)."""
+    from pacasam_spark.run_extraction import main
+
+    sampling_path, images_path = sampling_and_images
+    root = str(tmp_path / "dataset")
+    main([
+        "-s", sampling_path, "--images_path", images_path,
+        "-d", root, "--out_fmt", "png",
+    ])
+    written = [
+        os.path.join(d, f)
+        for d, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".png")
+    ]
+    assert len(written) == 20
+    assert all(os.path.basename(p).split("-")[0] in ("TRAIN", "VAL") for p in written)
+    mtimes = {p: os.path.getmtime(p) for p in written}
+
+    from pacasam_spark.run_extraction import run, build_parser
+
+    summary2 = run(build_parser().parse_args([
+        "-s", sampling_path, "--images_path", images_path,
+        "-d", root, "--out_fmt", "png",
+    ]))
+    assert summary2["written"] == 0  # resume: nothing re-extracted
+    assert {p: os.path.getmtime(p) for p in written} == mtimes
+
+
+def test_wms_fetch_bounded_retry(spark):
+    """reference bd_ortho_today.py:67-77: flaky service succeeds within
+    the retry budget; permanent failure is a per-row error, not a task
+    abort."""
+    calls = {}
+
+    def flaky(image_id, bbox):
+        calls[image_id] = calls.get(image_id, 0) + 1
+        if image_id == "dead":
+            raise IOError("always down")
+        if calls[image_id] < 3:
+            raise IOError("transient")
+        return f"{image_id}:{bbox[0]}".encode()
+
+    payload, attempts, err = fetch_with_retry(flaky, "ok", (0, 0, 1, 1), max_retries=3)
+    assert payload == b"ok:0" and attempts == 3 and err is None
+
+    sampling = spark.createDataFrame(
+        [("a", "train", 0.0, 0.0, 1.0, 1.0), ("dead", "train", 1.0, 0.0, 2.0, 1.0)],
+        "image_id string, split string, geom_xmin double, geom_ymin double,"
+        " geom_xmax double, geom_ymax double",
+    )
+    rows = {r["image_id"]: r for r in wms_extract(sampling, flaky, max_retries=2).collect()}
+    assert rows["a"]["bytes"] is not None and rows["a"]["error"] is None
+    assert rows["dead"]["bytes"] is None and "always down" in rows["dead"]["error"]
+    assert rows["dead"]["n_attempts"] == 3  # 1 + max_retries

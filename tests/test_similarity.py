@@ -1,0 +1,72 @@
+"""ANN / similarity-search tests (SURVEY.md training-data ops).
+
+The driver's q28 (brute force) and q41 (LSH) gate value-correctness
+against DuckDB; these tests gate the RECALL of the ANN path — the
+property SQL can't express.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pacasam_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def _pairs(df):
+    return {(r["q_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_lsh_multiprobe_recall_vs_brute_force(emb, queries):
+    """Deterministic recall of the multi-table multi-probe ANN vs exact
+    top-k. The synthetic embeddings are near-random (per-plane
+    disagreement ~0.4 for true neighbours) — the WORST case for
+    hyperplane LSH — so >= 0.9 here is a conservative floor for clustered
+    production embeddings."""
+    truth = _pairs(cosine_topk(emb, queries, k=K))
+    ann = _pairs(lsh_cosine_topk(emb, queries, k=K, n_planes=6, n_tables=10))
+    recall = len(truth & ann) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_lsh_single_probe_recall_lower(emb, queries):
+    """Multi-probe must buy recall over single-probe (sanity that the
+    probing actually widens the candidate set)."""
+    truth = _pairs(cosine_topk(emb, queries, k=K))
+    multi = _pairs(
+        lsh_cosine_topk(emb, queries, k=K, n_planes=6, n_tables=4, multi_probe=True)
+    )
+    single = _pairs(
+        lsh_cosine_topk(emb, queries, k=K, n_planes=6, n_tables=4, multi_probe=False)
+    )
+    r_multi = len(truth & multi) / len(truth)
+    r_single = len(truth & single) / len(truth)
+    assert r_multi > r_single
+
+
+def test_lsh_topk_values_are_exact_cosines(emb, queries):
+    """Whatever candidates LSH surfaces, their cos values must equal the
+    brute-force cosines (the re-rank is exact)."""
+    truth = {
+        (r["q_id"], r["neighbor_id"]): r["cos"]
+        for r in cosine_topk(emb, queries, k=50).collect()
+    }
+    for r in lsh_cosine_topk(emb, queries, k=3, n_planes=6, n_tables=6).collect():
+        key = (r["q_id"], r["neighbor_id"])
+        if key in truth:  # rank-50 cutoff on the truth side
+            assert truth[key] == r["cos"]
