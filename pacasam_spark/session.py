@@ -26,6 +26,15 @@ def get_spark(
     shuffle_partitions defaults to the core count — right-sized for local
     mode; on a multi-executor cluster pass ~2-3x total cores instead.
     """
+    # Pin BLAS to one thread per Python worker BEFORE the JVM forks:
+    # Spark already owns the task-level parallelism, and un-pinned
+    # OpenBLAS spawns ncpu threads PER worker — measured 16 workers x 32
+    # BLAS threads spending 20x more sys time spin-locking than computing
+    # (the FPS kernel ran 4.6x slower per chunk). Local-mode Python
+    # workers inherit the driver env; executorEnv covers cluster mode.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = f"local[{cores}]"
@@ -45,6 +54,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         # files.maxPartitionBytes default 128m is fine for the test parquet;
         # kept explicit so the scale knob is visible.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

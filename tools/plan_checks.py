@@ -26,6 +26,8 @@ def check(name: str, cond: bool, detail: str = "") -> bool:
 
 def main() -> int:
     import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
     from pacasam_spark.session import get_spark
 
     spark = get_spark(cores=8)
@@ -73,6 +75,33 @@ def main() -> int:
     p = plan_of(E.q33_zone_join(spark, sf))
     ok &= check("q33 broadcast zone join", "BroadcastHashJoin" in p)
     ok &= check("q33 no cartesian", "Cartesian" not in p)
+
+    # q06: as-of rank-1 must be a hash aggregation with map-side partial
+    # min (not a sort-window over the joined rows)
+    p = plan_of(E.q06_asof_nearest(spark, sf))
+    ok &= check("q06 partial min agg", "partial_min" in p or "partial" in p.lower())
+    ok &= check("q06 no window sort", "Window" not in p)
+
+    # q41: ANN candidates meet in equi-joins — no cartesian, broadcast
+    # query side, no Python UDF (pure-expr buckets)
+    p = plan_of(E.q41_lsh_ann_topk(spark, sf))
+    ok &= check("q41 no cartesian", "Cartesian" not in p and "NestedLoop" not in p)
+    ok &= check("q41 broadcast probes", "BroadcastHashJoin" in p)
+    ok &= check("q41 no Python UDF", "Python" not in p)
+
+    # q42: quantile interp stays in codegen (no Python eval node)
+    p = plan_of(E.q42_quantile_transform(spark, sf))
+    ok &= check("q42 no Python UDF", "Python" not in p)
+
+    # large-n random sample: the distributed trim must not TakeOrdered n
+    from pacasam_spark.operators.sampling import sample_randomly
+
+    big = spark.range(300000).select(F.col("id").alias("patch_id"))
+    p = plan_of(sample_randomly(big, 150000, seed=5))
+    ok &= check(
+        "large-n sample no driver merge",
+        "TakeOrderedAndProject(limit=150000" not in p,
+    )
 
     print("\nALL PASS" if ok else "\nSOME CHECKS FAILED")
     return 0 if ok else 1

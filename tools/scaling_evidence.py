@@ -52,6 +52,68 @@ print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
                   "patches_per_sec": row["n"]/dt, "result_md5": h}))
 """
 
+PREPARE_PARQUET = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+db_size, path = int(sys.argv[1]), sys.argv[2]
+from pacasam_spark.session import get_spark
+from pacasam_spark.sources.synthetic import synthetic_catalogue
+from pacasam_spark import schemas as S
+spark = get_spark(app_name="scaling_prepare", cores=32)
+cols = ["patch_id", "file_id"] + list(S.NB_POINT_COLS)
+db = synthetic_catalogue(spark, db_size=db_size, exact_counts=False).select(*cols)
+db.write.mode("overwrite").parquet(path)
+print("prepared", path)
+"""
+
+# The parquet-backed worker is the honest north-rule shape: the job reads
+# a TABLE (one shared file across parallelism levels — identical input
+# bytes), not a 12 GB in-JVM cache. Round-1 BENCH.md found 4M-of-80M runs
+# degrading to ~300 s at BOTH core counts with the cached catalogue —
+# GC pressure from cache + shuffle + window sort sharing one heap. A
+# parquet scan streams instead of pinning the heap.
+PARQUET_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+cores, db_size, target, _ = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+import os
+path = os.environ["SCALING_PARQUET"]
+from pacasam_spark.session import get_spark
+from pacasam_spark.samplers import DiversitySampler
+from pyspark.sql import functions as F
+from pacasam_spark.operators.hashing import det_hash
+
+spark = get_spark(app_name=f"scaling_pq_{cores}", cores=int(cores))
+cfg = {
+    "target_total_num_patches": target,
+    "frac_validation_set": 0.1,
+    "DiversitySampler": {"max_chunk_size_for_fps": 20000,
+        "normalization": "standardization",
+        "columns": ["nb_sol","nb_bati","nb_vegetation_basse",
+                    "nb_vegetation_moyenne","nb_vegetation_haute",
+                    "nb_pont","nb_eau","nb_sursol_perenne","nb_non_classes"]},
+}
+# warm-up on a DIFFERENT quota (CacheManager donates equal plans), then
+# drop any plan caches
+wcfg = dict(cfg); wcfg["target_total_num_patches"] = max(100, target // 7)
+DiversitySampler(spark.read.parquet(path), wcfg, seed=1).get_patches().count()
+spark.catalog.clearCache()
+
+t0 = time.perf_counter()
+sel = DiversitySampler(spark.read.parquet(path), dict(cfg), seed=42).get_patches()
+row = sel.agg(
+    F.count("*").alias("n"),
+    F.sum(det_hash("patch_id", 99)).alias("hsum"),
+    F.sum(F.crc32(F.concat_ws("|", "patch_id", "split"))).alias("csum"),
+).first()
+dt = time.perf_counter() - t0
+import hashlib
+h = hashlib.md5(f"{row['n']}|{row['hsum']}|{row['csum']}".encode()).hexdigest()
+print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
+                  "patches_per_sec": row["n"]/dt, "result_md5": h}))
+"""
+
 WORKER = r"""
 import json, sys, time
 sys.path.insert(0, "/root/repo")
@@ -108,8 +170,21 @@ print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
 """
 
 
+def prepare_parquet(db_size: int, path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    out = subprocess.run(
+        [sys.executable, "-c", PREPARE_PARQUET, str(db_size), path],
+        capture_output=True, text=True, env={**os.environ},
+    )
+    if "prepared" not in out.stdout:
+        raise RuntimeError(out.stderr[-2000:])
+
+
 def run(cores: int, db_size: int, target: int, sampler: str) -> dict:
-    worker = EXTRACT_WORKER if sampler == "extract" else WORKER
+    worker = {"extract": EXTRACT_WORKER, "DiversityParquet": PARQUET_WORKER}.get(
+        sampler, WORKER
+    )
     out = subprocess.run(
         [sys.executable, "-c", worker, str(cores), str(db_size), str(target), sampler],
         capture_output=True, text=True, env={**os.environ},
@@ -126,6 +201,11 @@ def main() -> None:
     sampler = sys.argv[3] if len(sys.argv) > 3 else "TripleSampler"
     n = int(os.environ.get("SCALING_N", "4"))  # N and 4N executor threads
     trials = int(os.environ.get("SCALING_TRIALS", "3"))
+    if sampler == "DiversityParquet":
+        path = os.environ.setdefault(
+            "SCALING_PARQUET", f"/tmp/scaling_catalogue_{db_size}.parquet"
+        )
+        prepare_parquet(db_size, path)
     # The sandbox VM sees invisible neighbor contention (load avg > 0 with
     # no local processes); interleaved best-of-k trials reject that noise.
     runs_n, runs_4n = [], []
