@@ -946,6 +946,67 @@ from t, mins
 """
 
 
+Q44_CENTROIDS, Q44_NPROBE, Q44_SEED = 16, 4, 7
+
+
+def q44_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3: deterministic hash-drawn coarse centroids, argmax-cos
+    cell assignment, nprobe cell equi-join, exact re-rank. The second
+    scale-path ANN next to q41's LSH; nprobe=n_centroids == brute force is
+    pytest-gated."""
+    from pacasam_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_cosine_topk(
+        emb, q, k=3, n_centroids=Q44_CENTROIDS, nprobe=Q44_NPROBE, seed=Q44_SEED
+    )
+
+
+def _q44_sql() -> str:
+    cos_ec = (
+        f"{_DOT.format(a='embedding', b='c_vec')}"
+        f" / ({_NORM.format(a='embedding')} * {_NORM.format(a='c_vec')})"
+    )
+    cos_qc = (
+        f"{_DOT.format(a='q_vec', b='c_vec')}"
+        f" / ({_NORM.format(a='q_vec')} * {_NORM.format(a='c_vec')})"
+    )
+    cos_eq = (
+        f"{_DOT.format(a='embedding', b='q_vec')}"
+        f" / ({_NORM.format(a='embedding')} * {_NORM.format(a='q_vec')})"
+    )
+    return f"""
+with q as (select vec_id as q_id, embedding as q_vec from embeddings where vec_id < 20),
+e as (select vec_id, embedding from embeddings),
+cent as (
+  select vec_id as c_id, embedding as c_vec from embeddings
+  order by {det_hash_sql('vec_id', Q44_SEED)}, vec_id limit {Q44_CENTROIDS}
+),
+assigned as (
+  select vec_id, embedding, c_id as cell,
+         row_number() over (partition by vec_id order by {cos_ec} desc, c_id) as rn
+  from e cross join cent
+),
+cells as (select vec_id, embedding, cell from assigned where rn = 1),
+probed as (
+  select q_id, q_vec, c_id as cell,
+         row_number() over (partition by q_id order by {cos_qc} desc, c_id) as pr
+  from q cross join cent
+),
+probes as (select q_id, q_vec, cell from probed where pr <= {Q44_NPROBE}),
+cand as (
+  select q_id, vec_id, {cos_eq} as cos
+  from cells join probes using (cell)
+  where q_id != vec_id
+),
+r as (select *, row_number() over (partition by q_id order by cos desc, vec_id) as rank from cand)
+select q_id, vec_id as neighbor_id, cos, rank from r where rank <= 3
+"""
+
+
 def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag + gap>30min cumulative session ids (the batch
     analogue of session_window)."""
@@ -1083,6 +1144,48 @@ zones as (
 select patch_id, zone_id
 from pts join zones
   on cx >= xmin and cx < xmax and cy >= ymin and cy < ymax
+"""
+
+
+Q43_ZONES = [
+    ("tri", [(0.0, 0.0), (1200.0, 0.0), (0.0, 1200.0)]),
+    ("penta", [(1500.0, 1000.0), (1900.0, 1200.0), (1800.0, 1700.0),
+               (1400.0, 1800.0), (1200.0, 1300.0)]),
+    ("lshape", [(1800.0, 100.0), (2250.0, 100.0), (2250.0, 500.0),
+                (2000.0, 500.0), (2000.0, 900.0), (1800.0, 900.0)]),
+]
+
+
+def q43_polygon_zone_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-POLYGON zone join (north rule: H3/S2 + point-in-polygon):
+    cell-coarse broadcast equi-join + exact even-odd ray cast as a pure
+    fold expression. Oracle replays the identical fold in DuckDB."""
+    from pacasam_spark.spatial.polygons import join_points_to_polygons
+
+    db = synthetic_catalogue(spark, db_size=2000).select(
+        "patch_id",
+        ((F.col("geom_xmin") + F.col("geom_xmax")) / 2).alias("cx"),
+        ((F.col("geom_ymin") + F.col("geom_ymax")) / 2).alias("cy"),
+    )
+    return join_points_to_polygons(db, Q43_ZONES, "cx", "cy", level=0).select(
+        "patch_id", "zone_id"
+    )
+
+
+def _q43_sql() -> str:
+    from pacasam_spark.spatial.polygons import edges_sql_literal, point_in_polygon_sql
+
+    cat = synthetic_catalogue_sql(db_size=2000)
+    branches = "\nunion all\n".join(
+        f"select patch_id, '{zid}' as zone_id from pts"
+        f" where {point_in_polygon_sql('cx', 'cy', edges_sql_literal(verts))}"
+        for zid, verts in Q43_ZONES
+    )
+    return f"""
+with cat as ({cat}),
+pts as (select patch_id, (geom_xmin + geom_xmax) / 2 as cx,
+               (geom_ymin + geom_ymax) / 2 as cy from cat)
+{branches}
 """
 
 
@@ -1261,6 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_outlier_scores": q40_outlier_scores,
         "q41_lsh_ann_topk": q41_lsh_ann_topk,
         "q42_quantile_transform": q42_quantile_transform,
+        "q43_polygon_zone_join": q43_polygon_zone_join,
+        "q44_ivf_ann_topk": q44_ivf_ann_topk,
     }
 
 
@@ -1309,4 +1414,6 @@ def oracle_sql() -> dict[str, str]:
         # rows-only by design.
         "q41_lsh_ann_topk": _q41_sql(),
         "q42_quantile_transform": _q42_sql(),
+        "q43_polygon_zone_join": _q43_sql(),
+        "q44_ivf_ann_topk": _q44_sql(),
     }

@@ -90,6 +90,91 @@ def hyperplane_signs(plane: int, dim: int) -> list[float]:
     ]
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse centroids: the ``n_centroids`` vectors
+    with the smallest det_hash(id) — a seeded uniform draw, reproducible
+    at any partitioning and expressible in the DuckDB oracle (unlike
+    k-means, whose iteration order isn't). TakeOrdered of a handful of
+    rows; the centroid table broadcasts everywhere downstream."""
+    from pacasam_spark.operators.hashing import det_hash
+
+    return (
+        emb.orderBy(det_hash(id_col, seed), F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell id per vector = argmax-cosine centroid (ties -> smaller c_id).
+    One broadcast join + a map-side max-struct aggregation."""
+    cos = _dot(F.col(vec_col), F.col("c_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("c_vec"))
+    )
+    joined = emb.join(F.broadcast(centroids)).withColumn("__cos", cos)
+    best = joined.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__cos"), (-F.col("c_id")).alias("__nci"))).alias("__b"),
+        F.first(vec_col).alias(vec_col),
+    )
+    return best.select(id_col, vec_col, (-F.col("__b.__nci")).alias("cell"))
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: vectors meet their queries in a cell equi-join
+    (each query probes its ``nprobe`` highest-cosine centroids), exact
+    re-rank inside. With nprobe = n_centroids this is EXACTLY the brute
+    force result (every cell probed) — the property the pytest gate uses.
+    100 TB shape: centroid table broadcast, one shuffle on cell id."""
+    cent = ivf_centroids(emb, n_centroids, seed, id_col, vec_col)
+    data_cells = ivf_assign(emb, cent, id_col, vec_col)
+
+    qcos = _dot(F.col("q_vec"), F.col("c_vec")) / (
+        _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("__qcos"), "c_id")
+    probes = (
+        queries.join(F.broadcast(cent))
+        .withColumn("__qcos", qcos)
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select("q_id", "q_vec", F.col("c_id").alias("cell"))
+    )
+
+    cand = data_cells.join(F.broadcast(probes), on="cell").filter(
+        F.col("q_id") != F.col(id_col)
+    )
+    cos = _dot(F.col(vec_col), F.col("q_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), id_col)
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
+    )
+
+
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     """Sign of <vec, h_plane> where h_plane has deterministic ±1 entries:
     entry d = +1 iff the first hex digit of md5('p{plane}d{d}') >= '8'.

@@ -1,0 +1,122 @@
+"""Point-in-POLYGON zone join (north rule: "H3/S2 index, point-in-polygon").
+
+The reference only supports axis-aligned boxes (README.md:198); the north
+rule asks for polygon sampling zones. Design, Spark-first:
+
+1. each polygon is expanded into the level-k cells its bbox overlaps —
+   a tiny (zone_id, cell, edges) table, broadcast (the "broadcast R-tree
+   per cell" role);
+2. points equi-join on their cell id — the only shuffle key, never a
+   cartesian;
+3. the exact test is EVEN-ODD RAY CASTING evaluated as a pure fold
+   expression over the polygon's edge array (whole-stage codegen, no
+   UDF): count edges whose (y1,y2) straddle py and whose x-intercept at
+   py lies right of px; odd count = inside.
+
+The identical fold is expressible in DuckDB (``point_in_polygon_sql``),
+so the join is oracle-gated end-to-end (driver q43). Integer parity and
+exact double comparisons are engine-portable; points on polygon edges
+are the usual ray-casting caveat (the synthetic grids never place
+centroids on edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pacasam_spark.spatial.cells import BASE_CELL_M, cell_edge, cell_id
+
+Polygon = list[tuple[float, float]]  # closed implicitly (last -> first)
+
+
+def polygon_edges(verts: Polygon) -> list[list[float]]:
+    """[(x, y), ...] -> [[x1, y1, x2, y2], ...] with the closing edge."""
+    return [
+        [float(x1), float(y1), float(x2), float(y2)]
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1])
+    ]
+
+
+def point_in_polygon(px: Column, py: Column, edges: Column) -> Column:
+    """Even-odd ray cast as a fold over ``edges``
+    (array<array<double>>, each [x1, y1, x2, y2])."""
+
+    def crossing(acc: Column, e: Column) -> Column:
+        x1, y1 = F.element_at(e, 1), F.element_at(e, 2)
+        x2, y2 = F.element_at(e, 3), F.element_at(e, 4)
+        straddles = (y1 > py) != (y2 > py)
+        # x of the edge at height py; division by zero only on horizontal
+        # edges, which `straddles` already excludes (IEEE inf/NaN compare
+        # false identically on both engines)
+        xhit = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        return acc + (straddles & (px < xhit)).cast("int")
+
+    return F.pmod(F.aggregate(edges, F.lit(0), crossing), F.lit(2)) == 1
+
+
+def point_in_polygon_sql(px: str, py: str, edges_sql: str) -> str:
+    """DuckDB twin of :func:`point_in_polygon` (1-based list indexing)."""
+    crossing = (
+        f"case when (e[2] > {py}) != (e[4] > {py})"
+        f" and {px} < (e[3] - e[1]) * ({py} - e[2]) / (e[4] - e[2]) + e[1]"
+        f" then 1 else 0 end"
+    )
+    return (
+        f"(list_reduce(list_transform({edges_sql}, e -> {crossing}),"
+        f" (a, b) -> a + b) % 2) = 1"
+    )
+
+
+def edges_sql_literal(verts: Polygon) -> str:
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(v) for v in edge) + "]"
+            for edge in polygon_edges(verts)
+        )
+        + "]"
+    )
+
+
+def polygon_zone_cells(
+    spark,
+    zones: list[tuple[str, Polygon]],
+    level: int,
+    base: float = BASE_CELL_M,
+) -> DataFrame:
+    """(zone_id, cell, edges) — one row per level-k cell overlapping the
+    polygon's bbox. Small; broadcast it."""
+    edge_len = cell_edge(level, base)
+    rows = []
+    for zid, verts in zones:
+        edges = polygon_edges(verts)
+        xs = [v[0] for v in verts]
+        ys = [v[1] for v in verts]
+        cx0, cx1 = int(min(xs) // edge_len), int((max(xs) - 1e-9) // edge_len)
+        cy0, cy1 = int(min(ys) // edge_len), int((max(ys) - 1e-9) // edge_len)
+        for cx in range(cx0, cx1 + 1):
+            for cy in range(cy0, cy1 + 1):
+                rows.append((zid, f"{cx}_{cy}", edges))
+    return spark.createDataFrame(
+        rows, "zone_id string, cell string, edges array<array<double>>"
+    )
+
+
+def join_points_to_polygons(
+    points: DataFrame,
+    zones: list[tuple[str, Polygon]],
+    x: str,
+    y: str,
+    level: int,
+    base: float = BASE_CELL_M,
+) -> DataFrame:
+    """Cell-coarse broadcast equi-join + exact ray-cast filter."""
+    spark = points.sparkSession
+    zdf = polygon_zone_cells(spark, zones, level, base)
+    pts = points.withColumn("__cell", cell_id(F.col(x), F.col(y), level, base))
+    joined = pts.join(F.broadcast(zdf), pts["__cell"] == zdf["cell"])
+    return (
+        joined.filter(point_in_polygon(F.col(x), F.col(y), F.col("edges")))
+        .drop("__cell", "cell", "edges")
+    )

@@ -70,3 +70,33 @@ def test_lsh_topk_values_are_exact_cosines(emb, queries):
         key = (r["q_id"], r["neighbor_id"])
         if key in truth:  # rank-50 cutoff on the truth side
             assert truth[key] == r["cos"]
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(emb, queries):
+    """With nprobe = n_centroids every cell is probed, so IVF must return
+    EXACTLY the brute-force top-k (ids, cos, ranks)."""
+    from pacasam_spark.operators.similarity import ivf_cosine_topk
+
+    brute = {
+        (r["q_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in cosine_topk(emb, queries, k=K).collect()
+    }
+    ivf = {
+        (r["q_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in ivf_cosine_topk(
+            emb, queries, k=K, n_centroids=8, nprobe=8
+        ).collect()
+    }
+    assert ivf == brute
+
+
+def test_ivf_recall_monotone_in_nprobe(emb, queries):
+    from pacasam_spark.operators.similarity import ivf_cosine_topk
+
+    truth = _pairs(cosine_topk(emb, queries, k=K))
+    recalls = []
+    for nprobe in (1, 4, 16):
+        got = _pairs(ivf_cosine_topk(emb, queries, k=K, n_centroids=16, nprobe=nprobe))
+        recalls.append(len(truth & got) / len(truth))
+    assert recalls[0] <= recalls[1] <= recalls[2] == 1.0
+    assert recalls[1] > 0  # probing 1/4 of cells finds a useful share

@@ -74,3 +74,51 @@ def test_knn_bucketed_equals_bruteforce(spark):
     }
     assert fast == brute
     assert len(fast) == 5 * queries.count()
+
+
+def _pip_py(px, py, verts):
+    inside = False
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+def test_point_in_polygon_matches_reference_raycast(spark):
+    """Fold-expression ray cast == an independent pure-Python ray cast on
+    a non-convex polygon, for a grid of probe points."""
+    from pacasam_spark.spatial.polygons import join_points_to_polygons
+
+    lshape = [(0.0, 0.0), (40.0, 0.0), (40.0, 20.0), (20.0, 20.0),
+              (20.0, 40.0), (0.0, 40.0)]
+    pts = [(i, 1.0 + 3.7 * (i % 13), 1.0 + 2.9 * (i // 13)) for i in range(150)]
+    df = spark.createDataFrame(pts, "pid int, px double, py double")
+    got = {
+        r["pid"]
+        for r in join_points_to_polygons(
+            df, [("z", lshape)], "px", "py", level=0, base=8.0
+        ).collect()
+    }
+    want = {pid for pid, px, py in pts if _pip_py(px, py, lshape)}
+    assert got == want
+    assert 0 < len(want) < len(pts)  # the probe grid straddles the boundary
+
+
+def test_polygon_join_is_cell_pruned_broadcast(spark):
+    """Plan shape: broadcast hash join on the cell id, no cartesian."""
+    from pacasam_spark.spatial.polygons import join_points_to_polygons
+
+    df = spark.range(1000).selectExpr(
+        "id as pid", "cast(id % 50 as double) * 10 as px",
+        "cast(id / 50 as double) * 10 as py"
+    )
+    out = join_points_to_polygons(
+        df, [("z", [(0.0, 0.0), (100.0, 0.0), (50.0, 80.0)])], "px", "py", level=0,
+        base=100.0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
