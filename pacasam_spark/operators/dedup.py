@@ -76,13 +76,28 @@ def lsh_near_dup_pairs(
     n: int = 3,
     bands: int = 4,
     min_shared_bands: int = 2,
+    max_bucket_size: int = 10000,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing >= k of the band signatures.
     Equi-join on (band, sig): docs only meet if a signature collides —
-    the LSH bucket join, linear in collisions, never quadratic."""
+    the LSH bucket join, linear in collisions, never quadratic.
+
+    Degenerate-bucket guard: a signature shared by m docs yields m^2 join
+    rows, and near-empty/boilerplate docs at corpus scale all hash to the
+    SAME few signatures — one such bucket is a quadratic hotspot in one
+    task. Buckets larger than ``max_bucket_size`` are dropped before the
+    self-join (standard web-dedup practice: a band shared by >10k docs
+    identifies boilerplate, not near-duplication; lower the n-gram order
+    or raise ``bands`` to split such corpora instead)."""
     sigs = minhash_signatures(df, text_col, id_col, n, bands)
-    a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
-    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+    bucket_sizes = sigs.groupBy("band", "sig").count()
+    bounded = sigs.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).select("band", "sig"),
+        on=["band", "sig"],
+        how="left_semi",
+    )
+    a = bounded.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = bounded.select(F.col(id_col).alias("id_b"), "band", "sig")
     return (
         a.join(b, on=["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--output", required=True)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="stage-checkpoint dir: a killed run resumes from "
+                        "its last committed stage (bitwise-identical)")
     # legacy flag-driven mode (no --config)
     p.add_argument("--db-size", type=int, default=10000)
     p.add_argument("--target", type=int, default=500)
@@ -101,6 +104,8 @@ def run(args: argparse.Namespace) -> dict:
         ).cache()
         split_name = args.split
 
+    if args.checkpoint_dir:
+        cfg["checkpoint_dir"] = args.checkpoint_dir
     sampler = SAMPLER_REGISTRY[args.sampler_class](db, cfg, seed=args.seed)
     sampling = sampler.get_patches().persist()
 

@@ -62,3 +62,41 @@ class Sampler:
                 f"{self.name}: {n_before} ids -> {n_after} distinct ids "
                 f"(uniqueness ratio: {n_after / n_before:.03f})"
             )
+
+    # --- stage checkpointing (north rule: resumable mid-job) -----------
+
+    @property
+    def checkpoint_dir(self) -> str | None:
+        return self.cf.get("checkpoint_dir")
+
+    def _stage(self, name: str, build) -> DataFrame:
+        """Run ``build()`` with an atomic parquet checkpoint: if this
+        stage already committed (Spark's job-commit protocol writes
+        _SUCCESS last), LOAD it instead of recomputing — a killed run
+        resumes from its last finished stage with bitwise-identical
+        state (selections are deterministic, so downstream stages see
+        exactly what the first run saw). Each commit also appends a
+        lineage row (stage, rows, wall seconds, seed) to
+        ``<dir>/_lineage`` — the Iceberg-snapshot-metadata analogue on
+        plain parquet. Without a checkpoint_dir this is just persist()."""
+        if not self.checkpoint_dir:
+            return build().persist()
+        import time
+
+        spark = self.db.sparkSession
+        path = f"{self.checkpoint_dir}/{name}"
+        try:
+            df = spark.read.parquet(path)
+            self.log.info(f"{self.name}: stage {name!r} resumed from {path}")
+            return df
+        except Exception:
+            pass
+        t0 = time.perf_counter()
+        build().write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        lineage = spark.createDataFrame(
+            [(name, out.count(), time.perf_counter() - t0, self.seed)],
+            "stage string, n_rows long, wall_sec double, seed long",
+        )
+        lineage.write.mode("append").parquet(f"{self.checkpoint_dir}/_lineage")
+        return out

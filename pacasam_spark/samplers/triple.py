@@ -28,7 +28,7 @@ class TripleSampler(Sampler):
             self.db, self.cf, log=self.log, seed=self.seed,
             complete_with_spatial_sampling=False,
         )
-        targetted = ts.get_patches().persist()
+        targetted = self._stage("targetted", ts.get_patches)
         n_targetted = targetted.count()
 
         num_diverse = (target_total - n_targetted) // 2  # half of remainder
@@ -43,8 +43,12 @@ class TripleSampler(Sampler):
             return targetted
 
         ds = DiversitySampler(self.db, self.cf, log=self.log, seed=self.seed + 1)
-        diverse = ds.get_patches(num_to_sample=num_diverse)
-        selection = union_dedup_priority([targetted, diverse]).persist()
+        selection = self._stage(
+            "targetted_plus_diverse",
+            lambda: union_dedup_priority(
+                [targetted, ds.get_patches(num_to_sample=num_diverse)]
+            ),
+        )
         n_selection = selection.count()
 
         num_to_complete = target_total - n_selection

@@ -299,3 +299,21 @@ def test_bucketed_rank_identical_chunk_ids(spark):
     a = sorted((r["patch_id"], r[CHUNK_ID]) for r in plain.collect())
     b = sorted((r["patch_id"], r[CHUNK_ID]) for r in bucketed.collect())
     assert a == b
+
+
+def test_lsh_degenerate_bucket_guard(spark):
+    """A signature bucket above max_bucket_size (boilerplate hotspot) is
+    dropped before the self-join; genuine duplicate pairs survive."""
+    from pacasam_spark.operators.dedup import lsh_near_dup_pairs
+
+    boiler = [(i, "lorem ipsum dolor sit amet") for i in range(30)]
+    dups = [(100, "a unique document about spark engines and scaling"),
+            (101, "a unique document about spark engines and scaling")]
+    df = spark.createDataFrame(boiler + dups, "doc_id long, text string")
+
+    unguarded = lsh_near_dup_pairs(df)
+    assert unguarded.count() == 30 * 29 // 2 + 1  # boilerplate explosion
+
+    guarded = lsh_near_dup_pairs(df, max_bucket_size=10)
+    rows = [(r["id_a"], r["id_b"]) for r in guarded.collect()]
+    assert rows == [(100, 101)]  # hotspot pruned, true dup kept

@@ -141,3 +141,58 @@ def test_determinism_partitioning_independent(catalogue, config):
         for r in SpatialSampler(repart, config).get_patches().collect()
     )
     assert base == other
+
+
+def test_triple_sampler_checkpoint_resume(spark, catalogue, tmp_path):
+    """North rule: resumable mid-job. A checkpointed run equals the plain
+    run; a restart loads finished stages instead of recomputing (gated by
+    making the stage-1 sampler raise); lineage rows are appended."""
+    import shutil
+
+    from pacasam_spark.samplers import TargettedSampler, TripleSampler
+    from tests.conftest import SAMPLING_CONFIG
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = dict(SAMPLING_CONFIG)
+    plain = sorted(
+        (r["patch_id"], r["split"], r["sampler"])
+        for r in TripleSampler(catalogue, cfg).get_patches().collect()
+    )
+    cfg_ck = {**cfg, "checkpoint_dir": ckpt}
+    first = sorted(
+        (r["patch_id"], r["split"], r["sampler"])
+        for r in TripleSampler(catalogue, cfg_ck).get_patches().collect()
+    )
+    assert first == plain
+
+    # restart: finished stages must LOAD — stage-1 recompute would raise
+    def boom(self, **kwargs):
+        raise AssertionError("stage recomputed despite checkpoint")
+
+    orig = TargettedSampler.get_patches
+    TargettedSampler.get_patches = boom
+    try:
+        resumed = sorted(
+            (r["patch_id"], r["split"], r["sampler"])
+            for r in TripleSampler(catalogue, cfg_ck).get_patches().collect()
+        )
+    finally:
+        TargettedSampler.get_patches = orig
+    assert resumed == plain
+
+    # mid-job resume: drop stage 2, keep stage 1 — stage 1 loads (sampler
+    # still patched out would raise), stage 2 recomputes deterministically
+    shutil.rmtree(f"{ckpt}/targetted_plus_diverse")
+    TargettedSampler.get_patches = boom
+    try:
+        mid = sorted(
+            (r["patch_id"], r["split"], r["sampler"])
+            for r in TripleSampler(catalogue, cfg_ck).get_patches().collect()
+        )
+    finally:
+        TargettedSampler.get_patches = orig
+    assert mid == plain
+
+    lineage = spark.read.parquet(f"{ckpt}/_lineage")
+    stages = [r["stage"] for r in lineage.collect()]
+    assert "targetted" in stages and stages.count("targetted_plus_diverse") == 2
