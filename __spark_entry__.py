@@ -1267,6 +1267,15 @@ def q37_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q37_SQL = "select user_id, count(*) as n_events from events group by user_id"
 
 
+def q45_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState) — on
+    bounded in-order input the final state equals the batch lag+cumsum
+    sessionizer, so the oracle is q30's SQL."""
+    from pacasam_spark.streaming.events import sessionize_stateful
+
+    return sessionize_stateful(spark, sf_dir)
+
+
 def q39_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-bucketed kNN join over patch centroids (north rule: H3/S2 +
     kNN). Same bucketing replayed by the oracle; brute-force equivalence
@@ -1366,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_quantile_transform": q42_quantile_transform,
         "q43_polygon_zone_join": q43_polygon_zone_join,
         "q44_ivf_ann_topk": q44_ivf_ann_topk,
+        "q45_streaming_sessionize": q45_streaming_sessionize,
     }
 
 
@@ -1416,4 +1426,5 @@ def oracle_sql() -> dict[str, str]:
         "q42_quantile_transform": _q42_sql(),
         "q43_polygon_zone_join": _q43_sql(),
         "q44_ivf_ann_topk": _q44_sql(),
+        "q45_streaming_sessionize": Q30_SQL,
     }

@@ -70,6 +70,89 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def sessionize_stateful(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Stateful streaming sessionization: the streaming twin of the batch
+    lag+cumsum sessionizer (driver q30) via ``applyInPandasWithState``.
+    State per user = (last event time, open session seq/count/start), all
+    as epoch-microsecond longs (exact — no float time math). Each batch
+    sorts its rows by (ts, event_id), continues the open session when the
+    gap <= ``gap_minutes``, and emits every session it touched; a later
+    batch that extends a session re-emits it with a larger count, so the
+    bounded-input result is the per-(user, seq) max — equal to the batch
+    result when events arrive in time order (bounded file source here).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    name = f"sessionize_{uuid.uuid4().hex[:8]}"
+    gap_us = gap_minutes * 60 * 1_000_000
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events*.parquet")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        if state.exists:
+            last_ts, seq, cur_n, cur_start = state.get
+        else:
+            last_ts, seq, cur_n, cur_start = None, 0, 0, 0
+        prev = ts_us.shift(1)
+        new_sess = prev.isna() | (ts_us > prev + gap_us)
+        if last_ts is not None:
+            new_sess.iloc[0] = ts_us.iloc[0] > last_ts + gap_us
+        seqs = new_sess.cumsum() + seq
+        out_rows = []
+        for s, grp in ts_us.groupby(seqs):
+            n = len(grp)
+            start = int(grp.iloc[0])
+            if s == seq and last_ts is not None:  # continued open session
+                n += cur_n
+                start = cur_start
+            out_rows.append((key[0], int(s), n, start))
+        last = out_rows[-1]
+        state.update((int(ts_us.iloc[-1]), last[1], last[2], last[3]))
+        out = pd.DataFrame(
+            out_rows, columns=["user_id", "sess_seq", "n_events", "start_us"]
+        )
+        out["session_start"] = out["start_us"].astype("datetime64[us]")
+        yield out.drop(columns=["start_us"])
+
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, sess_seq long, n_events long, "
+            "session_start timestamp_ntz"
+        ),
+        stateStructType="last_ts long, seq long, n long, start long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # a session extended across batches re-emits: keep the final (max) count
+    return (
+        spark.table(name)
+        .groupBy("user_id", "sess_seq")
+        .agg(F.max("n_events").alias("n_events"),
+             F.min("session_start").alias("session_start"))
+    )
+
+
 def user_event_counts_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: running per-user event counts
     via applyInPandasWithState (the engine's extension point for

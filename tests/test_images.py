@@ -130,3 +130,49 @@ def test_extract_reencode_to_jl(spark):
         # source tier, allowing the jl loss on top
         assert psnr(ref, arr) >= 38.0
         assert r.fmt == "jl"
+
+
+def test_rasterize_mask_halfplane_and_consistency():
+    """Left-half rectangle masks exactly the left half of the pixel grid,
+    and the mask rule agrees with the join-side ray cast."""
+    import numpy as np
+
+    from pacasam_spark.extract.rasterize import rasterize_mask
+
+    bbox = (0.0, 0.0, 32.0, 32.0)
+    left = [(0.0, 0.0), (16.0, 0.0), (16.0, 32.0), (0.0, 32.0)]
+    m = rasterize_mask(32, 32, bbox, left)
+    assert m[:, :16].all() and not m[:, 16:].any()
+
+    tri = [(0.0, 0.0), (32.0, 0.0), (0.0, 32.0)]
+    mt = rasterize_mask(32, 32, bbox, tri)
+    # triangle covers half the area (pixel-center quantization: +-1 row)
+    assert abs(int(mt.sum()) - 32 * 32 // 2) <= 32
+    assert mt[0, 0] and not mt[31, 31]
+
+
+def test_colorize_patches_blends_only_masked_pixels(spark):
+    """J10 through the Spark pipeline: pixels inside the zone move toward
+    the blend color, pixels outside are bit-identical."""
+    import numpy as np
+
+    from pacasam_spark.extract.rasterize import colorize_patches
+    from pacasam_spark.imaging import decode
+    from pacasam_spark.sources.images import synthetic_images
+
+    images = synthetic_images(spark, n=6, size=16).withColumn(
+        "geom_xmin", F.lit(0.0)).withColumn("geom_ymin", F.lit(0.0)
+    ).withColumn("geom_xmax", F.lit(16.0)).withColumn("geom_ymax", F.lit(16.0))
+    zones = [("z", [(0.0, 0.0), (8.0, 0.0), (8.0, 16.0), (0.0, 16.0)])]
+    out = colorize_patches(images, zones, color=(255, 0, 0), alpha=1.0)
+    originals = {r["image_id"]: bytes(r["bytes"]) for r in images.collect()}
+    fmts = {r["image_id"]: r["fmt"] for r in images.collect()}
+    rows = out.collect()
+    assert len(rows) == 6
+    for r in rows:
+        before = decode(originals[r["image_id"]], fmts[r["image_id"]])
+        after = decode(bytes(r["bytes"]), r["fmt"])
+        assert r["n_masked"] == 16 * 8
+        if r["fmt"] == "png":  # lossless: exact assertions
+            assert (after[:, :8] == np.array([255, 0, 0])).all()
+            assert np.array_equal(after[:, 8:], before[:, 8:])
