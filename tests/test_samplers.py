@@ -196,3 +196,18 @@ def test_triple_sampler_checkpoint_resume(spark, catalogue, tmp_path):
     lineage = spark.read.parquet(f"{ckpt}/_lineage")
     stages = [r["stage"] for r in lineage.collect()]
     assert "targetted" in stages and stages.count("targetted_plus_diverse") == 2
+
+
+def test_diversity_sampler_quantilization_config(catalogue):
+    """The reference's normalization=quantilization config path
+    (configs/Lipac.yml:31-33) through the pure-expr quantile transform."""
+    from pacasam_spark.samplers import DiversitySampler
+    from tests.conftest import SAMPLING_CONFIG
+
+    cfg = {**SAMPLING_CONFIG,
+           "DiversitySampler": {**SAMPLING_CONFIG["DiversitySampler"],
+                                "normalization": "quantilization"}}
+    sel = DiversitySampler(catalogue, cfg).get_patches()
+    rows = sel.collect()
+    assert len(rows) == 50
+    assert len({r["patch_id"] for r in rows}) == 50
