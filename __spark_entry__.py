@@ -814,20 +814,26 @@ def q41_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q41_PLANES, Q41_TABLES = 6, 10
 
 
-def _q41_sql() -> str:
+def _lsh_bucket_sql(vec: str, table: int, n_planes: int, dim: int = 64) -> str:
+    """DuckDB bucket id for one LSH table — same md5-derived sign
+    literals Catalyst folds to on the Spark side."""
     from pacasam_spark.operators.similarity import hyperplane_signs
 
+    bits = []
+    for p in range(n_planes):
+        signs = hyperplane_signs(table * n_planes + p, dim)
+        s_lit = "[" + ", ".join(str(s) for s in signs) + "]"
+        dot = (
+            f"list_reduce(list_transform(list_zip({vec}, {s_lit}),"
+            " p -> cast(p[1] as double) * p[2]), (x, y) -> x + y)"
+        )
+        bits.append(f"(case when {dot} >= 0 then {1 << p} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _q41_sql() -> str:
     def bucket_sql(vec: str, table: int) -> str:
-        bits = []
-        for p in range(Q41_PLANES):
-            signs = hyperplane_signs(table * Q41_PLANES + p, 64)
-            s_lit = "[" + ", ".join(str(s) for s in signs) + "]"
-            dot = (
-                f"list_reduce(list_transform(list_zip({vec}, {s_lit}),"
-                " p -> cast(p[1] as double) * p[2]), (x, y) -> x + y)"
-            )
-            bits.append(f"(case when {dot} >= 0 then {1 << p} else 0 end)")
-        return "(" + " + ".join(bits) + ")"
+        return _lsh_bucket_sql(vec, table, Q41_PLANES)
 
     data_tables = "\n  union all\n".join(
         f"  select vec_id, embedding, {t} as tbl,"
@@ -1004,6 +1010,47 @@ cand as (
 ),
 r as (select *, row_number() over (partition by q_id order by cos desc, vec_id) as rank from cand)
 select q_id, vec_id as neighbor_id, cos, rank from r where rank <= 3
+"""
+
+
+Q46_PLANES, Q46_TABLES, Q46_THRESHOLD = 3, 12, 0.25
+
+
+def q46_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for q29's embedding near-dup pairs: candidates meet
+    only in (table, bucket) equi-joins (linear in collisions, never the
+    exact O(N^2) join), exact cosine filter on candidates — precision 1
+    by construction. Oracle replays identical buckets."""
+    from pacasam_spark.operators.similarity import lsh_cosine_pairs_above
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return lsh_cosine_pairs_above(
+        emb, Q46_THRESHOLD, n_planes=Q46_PLANES, n_tables=Q46_TABLES
+    )
+
+
+def _q46_sql() -> str:
+    tables = "\n  union all\n".join(
+        f"  select vec_id, embedding, {t} as tbl,"
+        f" {_lsh_bucket_sql('embedding', t, Q46_PLANES)} as bucket from e"
+        for t in range(Q46_TABLES)
+    )
+    cos = (
+        f"{_DOT.format(a='va', b='vb')}"
+        f" / ({_NORM.format(a='va')} * {_NORM.format(a='vb')})"
+    )
+    return f"""
+with e as (select vec_id, embedding from embeddings where vec_id < 200),
+tb as (
+{tables}
+),
+cand as (
+  select distinct a.vec_id as id_a, a.embedding as va,
+                  b.vec_id as id_b, b.embedding as vb
+  from tb a join tb b on a.tbl = b.tbl and a.bucket = b.bucket
+                     and a.vec_id < b.vec_id
+)
+select id_a, id_b, {cos} as cos from cand where {cos} >= {Q46_THRESHOLD}
 """
 
 
@@ -1376,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_polygon_zone_join": q43_polygon_zone_join,
         "q44_ivf_ann_topk": q44_ivf_ann_topk,
         "q45_streaming_sessionize": q45_streaming_sessionize,
+        "q46_lsh_cosine_pairs": q46_lsh_cosine_pairs,
     }
 
 
@@ -1427,4 +1475,5 @@ def oracle_sql() -> dict[str, str]:
         "q43_polygon_zone_join": _q43_sql(),
         "q44_ivf_ann_topk": _q44_sql(),
         "q45_streaming_sessionize": Q30_SQL,
+        "q46_lsh_cosine_pairs": _q46_sql(),
     }

@@ -223,6 +223,113 @@ def hyperplane_lsh_buckets(
     return emb.select(id_col, vec_col, bucket.alias("bucket"))
 
 
+def lsh_table_buckets(
+    df: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    keep_cols: list[str],
+    vec_col: str,
+    multi_probe: bool = False,
+) -> DataFrame:
+    """One row per (vector, table[, probe]) with that table's bucket id.
+
+    All L*r plane dots are computed in ONE ``transform`` over the literal
+    sign matrix: the lambda is code-generated once and looped, instead of
+    inlining L*r copies of a 64-element fold (which blows past the JIT
+    method limit and falls back to interpreted evaluation — measured 5x
+    slower). Fold order per plane is identical to _hyperplane_sign —
+    bitwise-same buckets. With ``multi_probe`` each table also emits the
+    n_planes flip-one-bit probe buckets (query side of ANN)."""
+    planes = [
+        hyperplane_signs(t * n_planes + p, dim)
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+    smat = F.array(*[F.array(*[F.lit(s) for s in row]) for row in planes])
+    dots = F.transform(
+        smat,
+        lambda srow: F.aggregate(
+            F.zip_with(F.col(vec_col), srow, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+    def bucket_of(t: int) -> Column:
+        bucket = None
+        for p in range(n_planes):
+            bit = (
+                F.element_at(F.col("__dots"), t * n_planes + p + 1) >= 0
+            ).cast("int") * (1 << p)
+            bucket = bit if bucket is None else bucket + bit
+        return bucket
+
+    def probes(t: int) -> list[Column]:
+        b = bucket_of(t)
+        out = [F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))]
+        if multi_probe:
+            out += [
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    b.bitwiseXOR(F.lit(1 << i)).alias("bucket"),
+                )
+                for i in range(n_planes)
+            ]
+        return out
+
+    return (
+        df.withColumn("__dots", dots)
+        .select(
+            *keep_cols,
+            F.explode(
+                F.array(*[s for t in range(n_tables) for s in probes(t)])
+            ).alias("__tb"),
+        )
+        .select(
+            *keep_cols,
+            F.col("__tb.tbl").alias("tbl"),
+            F.col("__tb.bucket").alias("bucket"),
+        )
+    )
+
+
+def lsh_cosine_pairs_above(
+    emb: DataFrame,
+    threshold: float,
+    n_planes: int = 3,
+    n_tables: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: candidates share a (table,
+    bucket) — the LSH replacement for :func:`cosine_pairs_above`'s exact
+    O(N^2) join. Recall per true pair with per-plane disagreement p is
+    1 - (1 - (1-p)^r)^L; candidates never meet outside a bucket, so the
+    join is linear in collisions. Exact cosine filter on candidates —
+    every emitted pair is a TRUE >= threshold pair (precision 1)."""
+    tb = lsh_table_buckets(emb, n_planes, n_tables, dim, [id_col, vec_col], vec_col)
+    a = tb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "tbl", "bucket"
+    )
+    b = tb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "tbl", "bucket"
+    )
+    cand = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()  # a pair can collide in several tables
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -246,92 +353,10 @@ def lsh_cosine_topk(
     (p ~ 0.4, the hardest case; clustered production embeddings prune far
     better). Deterministic: planes derive from md5 bits, no RNG state.
     """
-    # All L*r plane dots in ONE transform over the literal sign matrix:
-    # the lambda is code-generated once and looped, instead of inlining
-    # L*r copies of a 64-element fold (which blows past the JIT method
-    # limit and falls back to interpreted evaluation). Fold order per
-    # plane is identical to _hyperplane_sign — bitwise-same buckets.
-    planes = [
-        hyperplane_signs(t * n_planes + p, dim)
-        for t in range(n_tables)
-        for p in range(n_planes)
-    ]
-    smat = F.array(*[F.array(*[F.lit(s) for s in row]) for row in planes])
-
-    def all_dots(vec: Column) -> Column:
-        return F.transform(
-            smat,
-            lambda srow: F.aggregate(
-                F.zip_with(vec, srow, lambda x, s: x.cast("double") * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-
-    def bucket_of(dots: Column, t: int) -> Column:
-        bucket = None
-        for p in range(n_planes):
-            bit = (
-                F.element_at(dots, t * n_planes + p + 1) >= 0
-            ).cast("int") * (1 << p)
-            bucket = bit if bucket is None else bucket + bit
-        return bucket
-
-    # data side: one row per (vector, table) with that table's bucket
-    data_tb = (
-        emb.withColumn("__dots", all_dots(F.col(vec_col)))
-        .select(
-            id_col,
-            vec_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            bucket_of(F.col("__dots"), t).alias("bucket"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("__tb"),
-        )
-        .select(
-            id_col,
-            vec_col,
-            F.col("__tb.tbl").alias("tbl"),
-            F.col("__tb.bucket").alias("bucket"),
-        )
-    )
-
-    # query side: one row per (query, table, probe bucket)
-    def probes(t: int) -> list[Column]:
-        b = bucket_of(F.col("__dots"), t)
-        out = [F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))]
-        if multi_probe:
-            out += [
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    b.bitwiseXOR(F.lit(1 << i)).alias("bucket"),
-                )
-                for i in range(n_planes)
-            ]
-        return out
-
-    q_tb = (
-        queries.withColumn("__dots", all_dots(F.col("q_vec")))
-        .select(
-            "q_id",
-            "q_vec",
-            F.explode(
-                F.array(*[s for t in range(n_tables) for s in probes(t)])
-            ).alias("__tb"),
-        )
-        .select(
-            "q_id",
-            "q_vec",
-            F.col("__tb.tbl").alias("tbl"),
-            F.col("__tb.bucket").alias("bucket"),
-        )
+    data_tb = lsh_table_buckets(emb, n_planes, n_tables, dim, [id_col, vec_col], vec_col)
+    q_tb = lsh_table_buckets(
+        queries, n_planes, n_tables, dim, ["q_id", "q_vec"], "q_vec",
+        multi_probe=multi_probe,
     )
 
     cand = (

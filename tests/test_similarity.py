@@ -100,3 +100,29 @@ def test_ivf_recall_monotone_in_nprobe(emb, queries):
         recalls.append(len(truth & got) / len(truth))
     assert recalls[0] <= recalls[1] <= recalls[2] == 1.0
     assert recalls[1] > 0  # probing 1/4 of cells finds a useful share
+
+
+def test_lsh_pairs_subset_of_exact_with_high_recall(spark):
+    """LSH near-dup pairs: precision 1 (subset of the exact O(N^2)
+    result, same cos values) and recall >= 0.8 on near-random vectors."""
+    from pacasam_spark.operators.similarity import (
+        cosine_pairs_above,
+        lsh_cosine_pairs_above,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    ).select("vec_id", "embedding")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_pairs_above(emb, 0.25).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in lsh_cosine_pairs_above(emb, 0.25, n_planes=3, n_tables=12).collect()
+    }
+    assert set(lsh) <= set(exact)  # precision 1
+    for k, v in lsh.items():
+        assert exact[k] == v  # exact re-scoring
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, recall
