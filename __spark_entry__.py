@@ -1092,9 +1092,13 @@ s as (
                              rows unbounded preceding) as sess_seq
   from g
 )
-select user_id, sess_seq, count(*) as n_events, min(ts) as session_start
+select user_id, cast(sess_seq as bigint) as sess_seq,
+       count(*) as n_events, min(ts) as session_start
 from s group by user_id, sess_seq
 """
+# ^ the BIGINT cast matters: DuckDB's window SUM over integers returns
+# HUGEINT, which fetches into pandas as float64 (1.0 != Spark's BIGINT 1
+# under the driver's typed value hash).
 
 
 def q31_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,36 @@ TABLES = [
 ]
 
 
+def dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the kind the driver's typed value hash
+    distinguishes: int-like, float, bool, datetime, or object/string."""
+    s = str(dtype).lower()
+    if "datetime" in s:
+        return "datetime"
+    if "bool" in s:
+        return "bool"
+    if "int" in s:
+        return "int"
+    if "float" in s:
+        return "float"
+    return "object"
+
+
+def strict_dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Columns whose FETCHED dtype kind differs between Spark and DuckDB.
+
+    The driver hashes typed values, so an int64 Spark column vs a float64
+    oracle column (e.g. DuckDB HUGEINT window sums fetching as float64)
+    hash-fails even when every value compares equal — this check makes the
+    local gate predict the driver's verdict instead of silently coercing.
+    """
+    return [
+        c
+        for c in sorted(sdf.columns)
+        if dtype_kind(sdf[c].dtype) != dtype_kind(odf[c].dtype)
+    ]
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -77,6 +107,14 @@ def main() -> int:
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             print(f"{name}: SCHEMA spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+            failed.append(name)
+            continue
+        mism = strict_dtype_mismatches(sdf, odf)
+        if mism:
+            kinds = {
+                c: (str(sdf[c].dtype), str(odf[c].dtype)) for c in mism
+            }
+            print(f"{name}: DTYPE spark-vs-oracle kind mismatch {kinds}")
             failed.append(name)
             continue
         s, o = normalize(sdf), normalize(odf)
