@@ -1013,14 +1013,17 @@ select q_id, vec_id as neighbor_id, cos, rank from r where rank <= 3
 """
 
 
-Q46_PLANES, Q46_TABLES, Q46_THRESHOLD = 3, 12, 0.25
+Q46_PLANES, Q46_TABLES, Q46_THRESHOLD = 5, 24, 0.25
 
 
 def q46_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for q29's embedding near-dup pairs: candidates meet
-    only in (table, bucket) equi-joins (linear in collisions, never the
-    exact O(N^2) join), exact cosine filter on candidates — precision 1
-    by construction. Oracle replays identical buckets."""
+    only in (table, bucket) equi-joins, exact cosine filter on candidates
+    — precision 1 by construction. At the gated (r=5, L=24) the candidate
+    set is measured at 0.53x the exact O(N^2) join's (pytest-gated), and
+    the bucket-size cap bounds candidates to L*N*cap/2 — linear in N — on
+    any corpus. Oracle replays identical buckets (the cap never triggers
+    at this N, so the SQL twin needs no guard branch)."""
     from pacasam_spark.operators.similarity import lsh_cosine_pairs_above
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)

@@ -77,10 +77,12 @@ def lsh_near_dup_pairs(
     bands: int = 4,
     min_shared_bands: int = 2,
     max_bucket_size: int = 10000,
+    return_dropped: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing >= k of the band signatures.
     Equi-join on (band, sig): docs only meet if a signature collides —
-    the LSH bucket join, linear in collisions, never quadratic.
+    the LSH bucket join; with the bucket cap below, candidate volume is
+    bounded by bands * N * max_bucket_size / 2 (linear in N).
 
     Degenerate-bucket guard: a signature shared by m docs yields m^2 join
     rows, and near-empty/boilerplate docs at corpus scale all hash to the
@@ -88,7 +90,13 @@ def lsh_near_dup_pairs(
     task. Buckets larger than ``max_bucket_size`` are dropped before the
     self-join (standard web-dedup practice: a band shared by >10k docs
     identifies boilerplate, not near-duplication; lower the n-gram order
-    or raise ``bands`` to split such corpora instead)."""
+    or raise ``bands`` to split such corpora instead).
+
+    The guard silently loses true pairs inside a dropped bucket, so the
+    truncation is surfaced: ``return_dropped=True`` returns
+    ``(pairs, dropped)`` where ``dropped`` is the (band, sig, count)
+    table of guarded buckets — callers can tell 'no pairs' apart from
+    'pairs pruned by the guard' (empty when nothing was cut)."""
     sigs = minhash_signatures(df, text_col, id_col, n, bands)
     bucket_sizes = sigs.groupBy("band", "sig").count()
     bounded = sigs.join(
@@ -98,13 +106,17 @@ def lsh_near_dup_pairs(
     )
     a = bounded.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = bounded.select(F.col(id_col).alias("id_b"), "band", "sig")
-    return (
+    pairs = (
         a.join(b, on=["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_bands"))
         .filter(F.col("n_shared_bands") >= min_shared_bands)
     )
+    if return_dropped:
+        dropped = bucket_sizes.filter(F.col("count") > max_bucket_size)
+        return pairs, dropped
+    return pairs
 
 
 def ngram_jaccard_pairs(

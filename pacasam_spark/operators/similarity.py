@@ -123,9 +123,12 @@ def ivf_assign(
         _norm(F.col(vec_col)) * _norm(F.col("c_vec"))
     )
     joined = emb.join(F.broadcast(centroids)).withColumn("__cos", cos)
+    # min(vec) not first(vec): groups are single-vector (one row per
+    # centroid of the SAME vector), so any pick is equal — but first() is
+    # formally non-deterministic and would turn fragile under refactor.
     best = joined.groupBy(id_col).agg(
         F.max(F.struct(F.col("__cos"), (-F.col("c_id")).alias("__nci"))).alias("__b"),
-        F.first(vec_col).alias(vec_col),
+        F.min(vec_col).alias(vec_col),
     )
     return best.select(id_col, vec_col, (-F.col("__b.__nci")).alias("cell"))
 
@@ -297,23 +300,61 @@ def lsh_table_buckets(
 def lsh_cosine_pairs_above(
     emb: DataFrame,
     threshold: float,
-    n_planes: int = 3,
-    n_tables: int = 12,
+    n_planes: int | str = "auto",
+    n_tables: int = 24,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 10000,
+    target_bucket_size: int = 1024,
+    return_dropped: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: candidates share a (table,
     bucket) — the LSH replacement for :func:`cosine_pairs_above`'s exact
-    O(N^2) join. Recall per true pair with per-plane disagreement p is
-    1 - (1 - (1-p)^r)^L; candidates never meet outside a bucket, so the
-    join is linear in collisions. Exact cosine filter on candidates —
-    every emitted pair is a TRUE >= threshold pair (precision 1)."""
+    O(N^2) join. Exact cosine filter on candidates, so every emitted pair
+    is a TRUE >= threshold pair (precision 1); recall per true pair with
+    per-plane disagreement p is 1 - (1 - (1-p)^r)^L.
+
+    Candidate volume is quadratic PER BUCKET (a bucket of m vectors emits
+    m^2/2 join rows), so bounding it needs both knobs this function has:
+
+    - ``n_planes="auto"`` derives r = ceil(log2(N / target_bucket_size))
+      from one count, so the expected bucket occupancy N/2^r stays near
+      ``target_bucket_size`` at ANY corpus size (r grows with the data —
+      a fixed small r degenerates to ~L*N^2/2^{r+1} candidates, worse
+      than the exact join it replaces).
+    - ``max_bucket_size`` drops over-full buckets BEFORE the self-join
+      (same guard as dedup.lsh_near_dup_pairs): boilerplate/duplicate-
+      heavy corpora hash huge clusters into one bucket regardless of r.
+      With the cap, candidates <= L * N * max_bucket_size / 2 — linear
+      in N, never quadratic.
+
+    Dropping a hot bucket silently loses its true pairs, so the
+    truncation is surfaced: with ``return_dropped=True`` returns
+    ``(pairs, dropped)`` where ``dropped`` is the (tbl, bucket, count)
+    table of guarded buckets (empty when nothing was cut).
+
+    Memory shape note: the ``.distinct()`` dedup of multi-table
+    collisions is itself a shuffle over ALL candidate rows (incl. both
+    vectors) — the price of not re-scoring a pair L times. If candidate
+    volume ever dominates, trade it for recompute by deduping on
+    (id_a, id_b) only and re-joining the vectors."""
+    if n_planes == "auto":
+        import math
+
+        n = emb.count()
+        n_planes = max(1, math.ceil(math.log2(max(2.0, n / target_bucket_size))))
     tb = lsh_table_buckets(emb, n_planes, n_tables, dim, [id_col, vec_col], vec_col)
-    a = tb.select(
+    bucket_sizes = tb.groupBy("tbl", "bucket").count()
+    bounded = tb.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).select("tbl", "bucket"),
+        on=["tbl", "bucket"],
+        how="left_semi",
+    )
+    a = bounded.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "tbl", "bucket"
     )
-    b = tb.select(
+    b = bounded.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "tbl", "bucket"
     )
     cand = (
@@ -323,11 +364,15 @@ def lsh_cosine_pairs_above(
         .distinct()  # a pair can collide in several tables
     )
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (
+    pairs = (
         cand.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+    if return_dropped:
+        dropped = bucket_sizes.filter(F.col("count") > max_bucket_size)
+        return pairs, dropped
+    return pairs
 
 
 def lsh_cosine_topk(
@@ -363,7 +408,9 @@ def lsh_cosine_topk(
         data_tb.join(F.broadcast(q_tb), on=["tbl", "bucket"])
         .filter(F.col("q_id") != F.col(id_col))
         .select("q_id", "q_vec", id_col, vec_col)
-        .distinct()  # a pair can collide in several tables/probes
+        .distinct()  # a pair can collide in several tables/probes;
+        # this dedup shuffles the full candidate set (vectors included) —
+        # bounded by Q * per-query collisions, cheap for ANN's small Q
     )
     cos = _dot(F.col(vec_col), F.col("q_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("q_vec"))

@@ -317,3 +317,23 @@ def test_lsh_degenerate_bucket_guard(spark):
     guarded = lsh_near_dup_pairs(df, max_bucket_size=10)
     rows = [(r["id_a"], r["id_b"]) for r in guarded.collect()]
     assert rows == [(100, 101)]  # hotspot pruned, true dup kept
+
+
+def test_lsh_guard_surfaces_dropped_buckets(spark):
+    """return_dropped exposes the guarded (band, sig, count) buckets so a
+    caller can tell 'no pairs' from 'pairs pruned by the guard'."""
+    from pacasam_spark.operators.dedup import lsh_near_dup_pairs
+
+    boiler = [(i, "lorem ipsum dolor sit amet") for i in range(30)]
+    dups = [(100, "a unique document about spark engines and scaling"),
+            (101, "a unique document about spark engines and scaling")]
+    df = spark.createDataFrame(boiler + dups, "doc_id long, text string")
+
+    pairs, dropped = lsh_near_dup_pairs(df, max_bucket_size=10, return_dropped=True)
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(100, 101)]
+    d = dropped.collect()
+    assert len(d) == 4  # all 4 bands of the 30-doc boilerplate bucket
+    assert all(r["count"] == 30 for r in d)
+
+    _, none_dropped = lsh_near_dup_pairs(df, return_dropped=True)
+    assert none_dropped.count() == 0

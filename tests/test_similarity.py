@@ -102,27 +102,103 @@ def test_ivf_recall_monotone_in_nprobe(emb, queries):
     assert recalls[1] > 0  # probing 1/4 of cells finds a useful share
 
 
+def _pairs_emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    ).select("vec_id", "embedding")
+
+
 def test_lsh_pairs_subset_of_exact_with_high_recall(spark):
-    """LSH near-dup pairs: precision 1 (subset of the exact O(N^2)
-    result, same cos values) and recall >= 0.8 on near-random vectors."""
+    """LSH near-dup pairs at the q46-gated params (r=5, L=24):
+    precision 1 (subset of the exact O(N^2) result, same cos values) and
+    recall >= 0.8 on near-random vectors (the hardest case)."""
     from pacasam_spark.operators.similarity import (
         cosine_pairs_above,
         lsh_cosine_pairs_above,
     )
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
-        F.col("vec_id") < 200
-    ).select("vec_id", "embedding")
+    emb = _pairs_emb(spark)
     exact = {
         (r["id_a"], r["id_b"]): r["cos"]
         for r in cosine_pairs_above(emb, 0.25).collect()
     }
     lsh = {
         (r["id_a"], r["id_b"]): r["cos"]
-        for r in lsh_cosine_pairs_above(emb, 0.25, n_planes=3, n_tables=12).collect()
+        for r in lsh_cosine_pairs_above(emb, 0.25, n_planes=5, n_tables=24).collect()
     }
     assert set(lsh) <= set(exact)  # precision 1
     for k, v in lsh.items():
         assert exact[k] == v  # exact re-scoring
     recall = len(lsh) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_lsh_pairs_candidates_below_exact_join(spark):
+    """The whole point of the LSH pairs path: at the q46-gated params the
+    DISTINCT candidate set must be strictly smaller than the N(N-1)/2
+    pairs the exact join scores (r too small degenerates to >= brute
+    force — the round-2 verdict's scale-killer)."""
+    from pacasam_spark.operators.similarity import lsh_table_buckets
+
+    emb = _pairs_emb(spark)
+    n = emb.count()
+    tb = lsh_table_buckets(emb, 5, 24, 64, ["vec_id"], "embedding")
+    a = tb.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+    b = tb.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
+    n_cand = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    exact_cand = n * (n - 1) // 2
+    assert n_cand < 0.7 * exact_cand, (n_cand, exact_cand)
+
+
+def test_lsh_pairs_bucket_guard_surfaces_truncation(spark):
+    """max_bucket_size drops over-full buckets BEFORE the self-join and
+    reports them: pairs(guarded) is a subset of pairs(unguarded) and the
+    dropped table names the guarded buckets (never silent)."""
+    from pacasam_spark.operators.similarity import lsh_cosine_pairs_above
+
+    emb = _pairs_emb(spark)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_cosine_pairs_above(emb, 0.25, n_planes=3, n_tables=4).collect()
+    }
+    guarded, dropped = lsh_cosine_pairs_above(
+        emb, 0.25, n_planes=3, n_tables=4, max_bucket_size=20, return_dropped=True
+    )
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    n_dropped = dropped.count()
+    # 200 vectors over 8 buckets/table -> every bucket is over the cap of 20
+    assert n_dropped > 0
+    assert got <= full
+    assert len(got) < len(full)
+    assert dropped.agg(F.min("count")).first()[0] > 20
+    # no-op cap reports nothing and changes nothing
+    same, none_dropped = lsh_cosine_pairs_above(
+        emb, 0.25, n_planes=3, n_tables=4, max_bucket_size=10**6, return_dropped=True
+    )
+    assert none_dropped.count() == 0
+    assert {(r["id_a"], r["id_b"]) for r in same.collect()} == full
+
+
+def test_lsh_pairs_auto_planes_scale_with_corpus(spark):
+    """n_planes='auto' derives r from N/target_bucket_size, so expected
+    bucket occupancy stays ~constant as the corpus grows."""
+    from pacasam_spark.operators.similarity import lsh_cosine_pairs_above
+
+    emb = _pairs_emb(spark)
+    # N=200, target 16 -> r = ceil(log2(12.5)) = 4; target 64 -> r = 2
+    p4 = lsh_cosine_pairs_above(
+        emb, 0.25, n_planes="auto", n_tables=4, target_bucket_size=16
+    )
+    p2 = lsh_cosine_pairs_above(
+        emb, 0.25, n_planes="auto", n_tables=4, target_bucket_size=64
+    )
+    # both run and stay precision-1; the coarser hash can only find MORE
+    # pairs (more collisions)
+    n4, n2 = p4.count(), p2.count()
+    assert n2 >= n4 > 0
