@@ -40,16 +40,34 @@ def extract_patches(
     sampling: DataFrame,
     crop: tuple[int, int, int, int] | None = None,
     out_fmt: str | None = None,
+    sampling_rows: int | None = None,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
     """J1 extraction join + E2/E3 decode-crop-encode.
 
     images: the catalogue (image_id, bytes, w, h, fmt, caption, phash).
-    sampling: (image_id, split) selection — small; broadcast.
+    sampling: (image_id, split) selection — broadcast only when provably
+    small (size-gated; a shuffle-hash join above the threshold, since
+    run_extraction accepts arbitrary sampling parquet).
+    sampling_rows: pass the count if already known to skip the size probe.
     crop: (x0, y0, cw, ch) window or None for full frames.
     out_fmt: target codec (default: keep source format).
     """
-    joined = images.join(
-        F.broadcast(sampling.select("image_id", "split")), "image_id"
+    from pacasam_spark.operators.joins import (
+        BROADCAST_ROW_THRESHOLD,
+        selection_join,
+    )
+
+    joined = selection_join(
+        images,
+        sampling.select("image_id", "split"),
+        "image_id",
+        selection_rows=sampling_rows,
+        broadcast_threshold=(
+            BROADCAST_ROW_THRESHOLD
+            if broadcast_threshold is None
+            else broadcast_threshold
+        ),
     )
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,7 +138,9 @@ def run_extraction(
 
     # persisted: consumed by up to three sinks (data, manifest, metrics) —
     # one decode pass, not three
-    extracted = extract_patches(images, todo, crop=crop, out_fmt=out_fmt).persist()
+    extracted = extract_patches(
+        images, todo, crop=crop, out_fmt=out_fmt, sampling_rows=n_todo
+    ).persist()
 
     metrics_rows: DataFrame | None = None
     if metrics_dir is not None:

@@ -62,14 +62,22 @@ def run(args: argparse.Namespace) -> dict:
     todo = resume_filter(sampling.select("image_id", "split"), manifest)
     if args.num_partitions:
         todo = todo.repartition(args.num_partitions, "image_id")
+    n_todo = todo.count()
 
     crop = tuple(int(v) for v in args.crop.split(",")) if args.crop else None
-    extracted = extract_patches(images, todo, crop=crop, out_fmt=args.out_fmt).persist()
+    extracted = extract_patches(
+        images, todo, crop=crop, out_fmt=args.out_fmt, sampling_rows=n_todo
+    ).persist()
 
     ext = args.out_fmt or "bin"
     files = write_patch_files(extracted, args.dataset_root_path, ext=ext)
-    n_written = files.filter("written").count()
-    n_skipped_files = files.filter("not written").count()
+    # ONE action for both metrics: `files` is a side-effecting writer —
+    # two separate counts would run the write pass twice (the second one
+    # finding every file already on disk and reporting written=0)
+    row = files.agg(
+        F.sum(F.col("written").cast("int")).alias("w"), F.count("*").alias("n")
+    ).first()
+    n_written, n_files = int(row["w"] or 0), int(row["n"])
     # manifest append LAST: writing to its path invalidates cached plans
     # that read it (recache-by-path)
     extracted.select("image_id").write.mode("append").parquet(manifest_dir)
@@ -78,7 +86,11 @@ def run(args: argparse.Namespace) -> dict:
     summary = {
         "extractor": args.extractor_class,
         "written": n_written,
-        "skipped_existing_files": n_skipped_files,
+        "skipped_existing_files": n_files - n_written,
+        # sampling rows whose image_id has no catalogue match never reach
+        # the manifest (inner join) — surfaced here instead of silently
+        # re-attempted on every resume forever
+        "unmatched_ids": n_todo - n_files,
         "dataset_root": args.dataset_root_path,
     }
     print(json.dumps(summary))

@@ -108,10 +108,15 @@ def run(args: argparse.Namespace) -> dict:
         cfg["checkpoint_dir"] = args.checkpoint_dir
     sampler = SAMPLER_REGISTRY[args.sampler_class](db, cfg, seed=args.seed)
     sampling = sampler.get_patches().persist()
+    n = sampling.count()
 
     # extraction join back to the full catalogue (J1;
-    # reference: connectors/connector.py:48-51, run_sampling.py:58)
-    extracted = db.join(F.broadcast(sampling), "patch_id")
+    # reference: connectors/connector.py:48-51, run_sampling.py:58) —
+    # broadcast size-gated: a sampler selection is small by construction,
+    # but the gate keeps the plan safe for arbitrary targets
+    from pacasam_spark.operators.joins import selection_join
+
+    extracted = selection_join(db, sampling, "patch_id", selection_rows=n)
     task_name = f"{args.connector_class}-{args.sampler_class}-{split_name}"
     sampling_path = f"{args.output}/{task_name}"
     save_sampling(extracted, sampling_path)
@@ -121,7 +126,6 @@ def run(args: argparse.Namespace) -> dict:
         os.makedirs(args.output, exist_ok=True)
         shutil.copy(args.config, os.path.join(args.output, os.path.basename(args.config)))
 
-    n = sampling.count()
     summary = {
         "sampler": args.sampler_class,
         "connector": args.connector_class,

@@ -176,3 +176,25 @@ def test_colorize_patches_blends_only_masked_pixels(spark):
         if r["fmt"] == "png":  # lossless: exact assertions
             assert (after[:, :8] == np.array([255, 0, 0])).all()
             assert np.array_equal(after[:, 8:], before[:, 8:])
+
+
+def test_extraction_join_broadcast_size_gate(spark, images):
+    """The J1 extraction join broadcasts ONLY a provably-small selection:
+    above the threshold the plan must fall back to a distributed join
+    (an arbitrary 10^8-row sampling parquet would OOM the driver as a
+    broadcast build)."""
+    from pacasam_spark.extract.images import extract_patches
+
+    sampling = images.select("image_id").withColumn("split", F.lit("train"))
+    n = sampling.count()
+
+    small = extract_patches(images, sampling, sampling_rows=n,
+                            broadcast_threshold=n + 1)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+
+    big = extract_patches(images, sampling, sampling_rows=n,
+                          broadcast_threshold=n - 1)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_big
+    assert "ShuffledHashJoin" in plan_big or "SortMergeJoin" in plan_big

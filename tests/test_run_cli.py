@@ -75,10 +75,18 @@ def test_run_extraction_cli_and_resume(spark, tmp_path, sampling_and_images):
 
     sampling_path, images_path = sampling_and_images
     root = str(tmp_path / "dataset")
-    main([
+    from pacasam_spark.run_extraction import build_parser as bp, run as r
+
+    summary1 = r(bp().parse_args([
         "-s", sampling_path, "--images_path", images_path,
         "-d", root, "--out_fmt", "png",
-    ])
+    ]))
+    # the writer pass must run ONCE: a fresh run writes everything and
+    # skips nothing (a second execution of the writer stage would report
+    # written=0/skipped=20 for the same rows)
+    assert summary1["written"] == 20
+    assert summary1["skipped_existing_files"] == 0
+    assert summary1["unmatched_ids"] == 0
     written = [
         os.path.join(d, f)
         for d, _, fs in os.walk(root)
@@ -97,6 +105,29 @@ def test_run_extraction_cli_and_resume(spark, tmp_path, sampling_and_images):
     ]))
     assert summary2["written"] == 0  # resume: nothing re-extracted
     assert {p: os.path.getmtime(p) for p in written} == mtimes
+
+
+def test_run_extraction_reports_unmatched_ids(spark, tmp_path, sampling_and_images):
+    """Sampling ids with no catalogue match are dropped by the inner
+    extraction join; the summary must surface them instead of silently
+    re-attempting them on every resume run forever."""
+    from pacasam_spark.run_extraction import build_parser, run
+
+    sampling_path, images_path = sampling_and_images
+    ghost = spark.createDataFrame(
+        [("nonexistent_1", "train"), ("nonexistent_2", "val")],
+        "image_id string, split string",
+    )
+    mixed = spark.read.parquet(sampling_path).unionByName(ghost)
+    mixed_path = str(tmp_path / "sampling_mixed")
+    mixed.write.parquet(mixed_path)
+
+    summary = run(build_parser().parse_args([
+        "-s", mixed_path, "--images_path", images_path,
+        "-d", str(tmp_path / "dataset2"), "--out_fmt", "png",
+    ]))
+    assert summary["written"] == 20
+    assert summary["unmatched_ids"] == 2
 
 
 def test_wms_fetch_bounded_retry(spark):
