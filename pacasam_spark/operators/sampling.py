@@ -107,7 +107,9 @@ def sample_with_stratification(
     seed: int = 0,
     id_key: str = S.PATCH_ID,
     distributed_trim_threshold: int = 20000,
-    salt: int = 0,
+    salt: int | str = "auto",
+    salt_threshold: int = 2_000_000,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """M7: exact-n sample stratified by ``keys``
     (reference: samplers/algos.py:23-56).
@@ -120,16 +122,26 @@ def sample_with_stratification(
     min(n, count(df)), and there is no driver loop.
 
     Physical plan: one shuffle for the per-stratum window (partitioned by
-    the strata keys — salt upstream if a stratum is hot, though strata are
-    ~400 patches in the reference data model). The global cut is
-    TakeOrdered(n) for small n; for large n that merge is a serial
-    driver bottleneck, so the cut switches to a distributed
-    round-threshold trim (identical result, see
-    :func:`_round_threshold_trim`).
+    the strata keys). A hot stratum would sort in ONE task, so with
+    ``salt="auto"`` (default) the per-strata counts are aggregated (one
+    cheap partial-agg job — pass ``counts`` to reuse an existing table,
+    as fps.add_deterministic_chunk_ids does) and the exact salted
+    two-level rank kicks in automatically when the largest stratum
+    exceeds ``salt_threshold`` rows; output is IDENTICAL either way
+    (test-gated). Explicit ``salt=0`` skips detection; an explicit int
+    forces that many sub-buckets. The global cut is TakeOrdered(n) for
+    small n; for large n that merge is a serial driver bottleneck, so
+    the cut switches to a distributed round-threshold trim (identical
+    result, see :func:`_round_threshold_trim`).
     """
     if isinstance(keys, str):
         keys = [keys]
     h = det_hash(id_key, seed)
+    if salt == "auto":
+        if counts is None:
+            counts = df.groupBy(*keys).count()
+        mx = int(counts.agg(F.max("count")).first()[0] or 0)
+        salt = 0 if mx <= salt_threshold else min(256, -(-mx // salt_threshold))
     if salt > 1:
         df = _salted_rank_candidates(df, num_to_sample, keys, h, id_key, seed, salt)
     w = Window.partitionBy(*keys).orderBy(h, F.col(id_key))

@@ -337,3 +337,45 @@ def test_lsh_guard_surfaces_dropped_buckets(spark):
 
     _, none_dropped = lsh_near_dup_pairs(df, return_dropped=True)
     assert none_dropped.count() == 0
+
+
+def test_stratified_auto_salt_detects_hot_stratum(spark, monkeypatch):
+    """salt='auto' must take the salted path exactly when the largest
+    stratum exceeds salt_threshold — with output identical to salt=0."""
+    import pacasam_spark.operators.sampling as samp
+
+    df = spark.range(10100).select(
+        F.col("id").alias("patch_id"),
+        F.when(F.col("id") < 10000, "hot").otherwise(
+            F.concat(F.lit("s"), (F.col("id") % 5).cast("string"))
+        ).alias(S.FILE_ID),
+    )
+    calls = []
+    orig = samp._salted_rank_candidates
+
+    def spy(*a, **k):
+        calls.append(a[-1])  # the salt factor
+        return orig(*a, **k)
+
+    monkeypatch.setattr(samp, "_salted_rank_candidates", spy)
+
+    plain = sorted(
+        r["patch_id"]
+        for r in samp.sample_with_stratification(df, 900, seed=3, salt=0).collect()
+    )
+    assert calls == []
+
+    auto = sorted(
+        r["patch_id"]
+        for r in samp.sample_with_stratification(
+            df, 900, seed=3, salt="auto", salt_threshold=1000
+        ).collect()
+    )
+    assert calls == [10]  # ceil(10000 / 1000) sub-buckets
+    assert auto == plain and len(auto) == 900
+
+    # below the threshold: auto stays on the unsalted single-window path
+    samp.sample_with_stratification(
+        df, 900, seed=3, salt="auto", salt_threshold=50000
+    ).collect()
+    assert calls == [10]
