@@ -1330,6 +1330,43 @@ def q45_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stateful(spark, sf_dir)
 
 
+def q47_merge_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-merge as-of join (J8's time-series variant): each purchase
+    event gets the same user's latest at-or-before click. One cogroup
+    shuffle on user_id + a vectorized pandas merge per group — no window,
+    no group cross-join. Oracle: DuckDB ASOF LEFT JOIN."""
+    from pacasam_spark.operators.asof import merge_asof_groups
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return merge_asof_groups(purchases, clicks, by="user_id", on="ts")
+
+
+Q47_SQL = """
+with p as (
+  select event_id as purchase_id, user_id, ts
+  from events where event_type = 'purchase'
+),
+c0 as (
+  select user_id, ts, event_id as click_id, ts as click_ts,
+         row_number() over (partition by user_id, ts order by event_id) as rn
+  from events where event_type = 'click'
+),
+c as (select user_id, ts, click_id, click_ts from c0 where rn = 1)
+select p.purchase_id, p.user_id, p.ts, c.click_id, c.click_ts
+from p asof left join c
+  on p.user_id = c.user_id and p.ts >= c.ts
+"""
+
+
 def q39_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-bucketed kNN join over patch centroids (north rule: H3/S2 +
     kNN). Same bucketing replayed by the oracle; brute-force equivalence
@@ -1431,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_ivf_ann_topk": q44_ivf_ann_topk,
         "q45_streaming_sessionize": q45_streaming_sessionize,
         "q46_lsh_cosine_pairs": q46_lsh_cosine_pairs,
+        "q47_merge_asof_join": q47_merge_asof_join,
     }
 
 
@@ -1483,4 +1521,5 @@ def oracle_sql() -> dict[str, str]:
         "q44_ivf_ann_topk": _q44_sql(),
         "q45_streaming_sessionize": Q30_SQL,
         "q46_lsh_cosine_pairs": _q46_sql(),
+        "q47_merge_asof_join": Q47_SQL,
     }

@@ -41,6 +41,77 @@ def asof_nearest_join(
     )
 
 
+def merge_asof_groups(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | list[str],
+    on: str,
+    direction: str = "backward",
+    tolerance=None,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Sorted-merge as-of join per group (the pd.merge_asof variant the
+    module docstring promises; DuckDB twin: ASOF JOIN).
+
+    For each left row, attach the right row of the same ``by`` group
+    whose ``on`` value is the nearest at-or-before it (``backward``; or
+    at-or-after with ``forward``). Unmatched left rows keep NULL right
+    columns (left-join semantics — like pd.merge_asof, unlike
+    :func:`asof_nearest_join`'s inner equi-join + window).
+
+    Physical plan: ONE cogroup shuffle on ``by`` then a vectorized
+    pandas sorted-merge per group — O(n log n) in the group, no
+    group-wide cross join, no window. The right side is deduplicated to
+    one row per (group, on) (keep first by the remaining columns) so the
+    match is deterministic under any partitioning.
+
+    Right columns other than ``by``/``on`` must not collide with left
+    column names (pre-rename on the caller side).
+    """
+    import pandas as pd
+
+    keys = [by] if isinstance(by, str) else list(by)
+    extra = [c for c in right.columns if c not in set(keys) | {on}]
+    left_schema = left.schema
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in left_schema.fields]
+        + [
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in right.schema.fields
+            if f.name in extra
+        ]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=list(lpdf.columns) + extra)
+        lpdf = lpdf.sort_values(on, kind="mergesort").reset_index(drop=True)
+        if rpdf.empty:
+            out = lpdf.copy()
+            for c in extra:
+                out[c] = None
+            return out
+        rpdf = (
+            rpdf.sort_values([on] + extra, kind="mergesort")
+            .drop_duplicates(on, keep="first")
+            .reset_index(drop=True)
+        )
+        return pd.merge_asof(
+            lpdf,
+            rpdf[[on] + extra],
+            on=on,
+            direction=direction,
+            tolerance=tolerance,
+            allow_exact_matches=allow_exact_matches,
+        )
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
+    )
+
+
 def distinct_on(
     df: DataFrame, keys: list[str], order_by: list[str]
 ) -> DataFrame:

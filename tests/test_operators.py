@@ -379,3 +379,36 @@ def test_stratified_auto_salt_detects_hot_stratum(spark, monkeypatch):
         df, 900, seed=3, salt="auto", salt_threshold=50000
     ).collect()
     assert calls == [10]
+
+
+def test_merge_asof_groups_backward_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left row, per
+    group; unmatched left rows keep NULLs; duplicate right timestamps
+    resolve deterministically (keep-first by remaining cols)."""
+    from pacasam_spark.operators.asof import merge_asof_groups
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u2", 5, "c"), ("u3", 9, "d")],
+        "user string, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 100), ("u1", 10, 99), ("u1", 15, 101), ("u2", 7, 102)],
+        "user string, t long, rid int",
+    )
+    got = {
+        (r["user"], r["t"]): r["rid"]
+        for r in merge_asof_groups(left, right, by="user", on="t").collect()
+    }
+    assert got == {
+        ("u1", 10): 99,   # exact match allowed; tie at t=10 -> min rid
+        ("u1", 20): 101,  # latest at-or-before 20
+        ("u2", 5): None,  # right exists later only -> no backward match
+        ("u3", 9): None,  # group absent on the right
+    }
+    fwd = {
+        (r["user"], r["t"]): r["rid"]
+        for r in merge_asof_groups(
+            left, right, by="user", on="t", direction="forward"
+        ).collect()
+    }
+    assert fwd[("u2", 5)] == 102 and fwd[("u1", 20)] is None
