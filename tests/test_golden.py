@@ -1,0 +1,41 @@
+"""Golden-snapshot gates for the three rows-only driver queries
+(VERDICT r2 item 6): q34 (chunked FPS), q35 (TripleSampler), q40
+(outlier scores) have no SQL oracle — sequential FPS, composite
+driver-loop quotas, chunk-local scoring — but they ARE bitwise
+reproducible by construction (hash-seeded draws, exact decimal sums,
+deterministic chunk ranks). Pinning the order-independent value checksum
+catches a regression in FPS / sampler composition / outlier scoring that
+the constraint-level pytests would miss.
+
+All three queries build their catalogue from synthetic_catalogue (the
+sf_dir argument is unused), so the checksums are environment-independent.
+If a checksum changes INTENTIONALLY (algorithm change), recompute via:
+  df.agg(F.sum(F.xxhash64(*cols).cast("decimal(38,0)")))
+"""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+GOLDEN = {
+    "q34_fps_diversity": (100, Decimal("-13828092851255133335")),
+    "q35_triple_sampler": (300, Decimal("37984034781069022106")),
+    "q40_outlier_scores": (100, Decimal("-60316047764131129489")),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_rows_only_queries_match_golden_checksum(spark, name):
+    import __spark_entry__ as E
+
+    df = E.queries()[name](spark, "/root/testdata/sf0.01")
+    row = df.agg(
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+        ).alias("chk"),
+        F.count("*").alias("n"),
+    ).first()
+    n_exp, chk_exp = GOLDEN[name]
+    assert row["n"] == n_exp
+    assert row["chk"] == chk_exp
