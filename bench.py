@@ -18,8 +18,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_query(df) -> int:
-    """Force full execution without driver collect cost: count via agg."""
-    return df.count()
+    """Force FULL-WIDTH execution without driver collect cost.
+
+    A bare count() lets Catalyst prune unreferenced projection work for
+    pure-projection queries (q02/q13/q17 shapes), so the bench would not
+    measure the advertised expressions. A checksum over xxhash64 of every
+    output column keeps all of them alive; the decimal cast dodges ANSI
+    long-overflow on the sum.
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+        ).alias("chk"),
+        F.count("*").alias("n"),
+    ).first()
+    return int(row["n"])
 
 
 def main() -> None:
