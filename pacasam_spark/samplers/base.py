@@ -69,31 +69,68 @@ class Sampler:
     def checkpoint_dir(self) -> str | None:
         return self.cf.get("checkpoint_dir")
 
+    def _run_fingerprint(self) -> str:
+        """Hash of everything that determines a stage's output: seed +
+        sampling config (+ sampler class). Stored next to each stage so a
+        resume against a checkpoint_dir written by a DIFFERENT run
+        (other seed/target/config) recomputes instead of silently loading
+        stale state — the 'bitwise-identical resume' contract."""
+        import hashlib
+        import json
+
+        payload = json.dumps(
+            {"sampler": self.name, "seed": self.seed, "cf": self.cf},
+            sort_keys=True,
+            default=str,
+        )
+        return hashlib.md5(payload.encode()).hexdigest()
+
     def _stage(self, name: str, build) -> DataFrame:
         """Run ``build()`` with an atomic parquet checkpoint: if this
-        stage already committed (Spark's job-commit protocol writes
-        _SUCCESS last), LOAD it instead of recomputing — a killed run
-        resumes from its last finished stage with bitwise-identical
-        state (selections are deterministic, so downstream stages see
-        exactly what the first run saw). Each commit also appends a
-        lineage row (stage, rows, wall seconds, seed) to
-        ``<dir>/_lineage`` — the Iceberg-snapshot-metadata analogue on
-        plain parquet. Without a checkpoint_dir this is just persist()."""
+        stage already committed, LOAD it instead of recomputing — a
+        killed run resumes from its last finished stage with
+        bitwise-identical state (selections are deterministic, so
+        downstream stages see exactly what the first run saw).
+
+        Commit protocol: stage parquet first, then a ``<path>/_meta``
+        fingerprint table LAST (the commit marker — Spark's file listing
+        ignores ``_``-prefixed children, so it is invisible to the stage
+        read). Resume requires BOTH a readable marker and a matching
+        fingerprint of (sampler, seed, config); a mismatch logs a
+        warning and recomputes, and a missing marker (killed mid-write)
+        recomputes — stage-read errors after a valid marker are genuine
+        and propagate instead of masquerading as cache misses. Each
+        commit also appends a lineage row (stage, rows, wall seconds,
+        seed) to ``<dir>/_lineage`` — the Iceberg-snapshot-metadata
+        analogue on plain parquet. Without a checkpoint_dir this is just
+        persist()."""
         if not self.checkpoint_dir:
             return build().persist()
         import time
 
         spark = self.db.sparkSession
         path = f"{self.checkpoint_dir}/{name}"
+        fp = self._run_fingerprint()
         try:
-            df = spark.read.parquet(path)
-            self.log.info(f"{self.name}: stage {name!r} resumed from {path}")
-            return df
+            meta = spark.read.parquet(f"{path}/_meta").first()
         except Exception:
-            pass
+            meta = None  # no committed stage here
+        if meta is not None:
+            if meta["fingerprint"] == fp:
+                df = spark.read.parquet(path)
+                self.log.info(f"{self.name}: stage {name!r} resumed from {path}")
+                return df
+            self.log.warning(
+                f"{self.name}: stage {name!r} at {path} was written by a "
+                f"different run (fingerprint {meta['fingerprint']} != {fp}) "
+                f"— recomputing"
+            )
         t0 = time.perf_counter()
         build().write.mode("overwrite").parquet(path)
         out = spark.read.parquet(path)
+        spark.createDataFrame([(fp,)], "fingerprint string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/_meta")
         lineage = spark.createDataFrame(
             [(name, out.count(), time.perf_counter() - t0, self.seed)],
             "stage string, n_rows long, wall_sec double, seed long",

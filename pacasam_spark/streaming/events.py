@@ -105,6 +105,19 @@ def sessionize_stateful(
         prev = ts_us.shift(1)
         new_sess = prev.isna() | (ts_us > prev + gap_us)
         if last_ts is not None:
+            # The sessionizer is only correct when micro-batches arrive
+            # in global time order per user (bounded in-order file source
+            # here). A batch starting BEFORE the stored last_ts would be
+            # appended to the open session with an inflated count and a
+            # too-late session_start — fail loudly instead of corrupting
+            # output. (Out-of-order production streams belong in
+            # session_window + watermark, not this exact-batch twin.)
+            if int(ts_us.iloc[0]) < last_ts:
+                raise ValueError(
+                    f"sessionize_stateful: out-of-order micro-batch for "
+                    f"user {key[0]}: event at {int(ts_us.iloc[0])}us "
+                    f"predates state last_ts {last_ts}us"
+                )
             new_sess.iloc[0] = ts_us.iloc[0] > last_ts + gap_us
         seqs = new_sess.cumsum() + seq
         out_rows = []

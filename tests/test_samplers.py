@@ -211,3 +211,39 @@ def test_diversity_sampler_quantilization_config(catalogue):
     rows = sel.collect()
     assert len(rows) == 50
     assert len({r["patch_id"] for r in rows}) == 50
+
+
+def test_checkpoint_fingerprint_guards_stale_resume(spark, catalogue, tmp_path):
+    """A checkpoint_dir written by a DIFFERENT run (other seed or target)
+    must NOT be silently loaded: the stage fingerprint forces a recompute
+    and the new run's results match its own plain (uncheckpointed) run."""
+    from pacasam_spark.samplers import TripleSampler
+    from tests.conftest import SAMPLING_CONFIG
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg_a = {**SAMPLING_CONFIG, "checkpoint_dir": ckpt}
+    run_a = sorted(
+        r["patch_id"]
+        for r in TripleSampler(catalogue, cfg_a, seed=42).get_patches().collect()
+    )
+
+    # same dir, different seed: fingerprint mismatch -> recompute
+    run_b = sorted(
+        r["patch_id"]
+        for r in TripleSampler(catalogue, cfg_a, seed=43).get_patches().collect()
+    )
+    plain_b = sorted(
+        r["patch_id"]
+        for r in TripleSampler(
+            catalogue, dict(SAMPLING_CONFIG), seed=43
+        ).get_patches().collect()
+    )
+    assert run_b == plain_b
+    assert run_a != run_b  # different seed really changes the selection
+
+    # and the dir now holds seed-43 stages: a seed-43 rerun resumes them
+    rerun_b = sorted(
+        r["patch_id"]
+        for r in TripleSampler(catalogue, cfg_a, seed=43).get_patches().collect()
+    )
+    assert rerun_b == run_b
