@@ -1367,6 +1367,104 @@ from p asof left join c
 """
 
 
+def q48_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-payload dedup on the input-hint's ``phash:int64`` column:
+    Hamming-banded LSH pairs (8 bands of 8 bits => pigeonhole-guaranteed
+    recall at distance <= 7), exact bit_count(xor) filter on candidates.
+    The fingerprint is derived from documents (md5 -> 60-bit int) so the
+    oracle reproduces it bit-for-bit; a shifted copy with two bits
+    flipped plants true near-dups at Hamming distance 2."""
+    from pacasam_spark.operators.dedup import hamming_near_dup_pairs
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("phash"),
+        )
+    )
+    corpus = base.unionByName(
+        base.select(
+            (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
+            F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),
+        )
+    )
+    pairs = hamming_near_dup_pairs(
+        corpus, hash_col="phash", id_col="doc_id", max_distance=7
+    )
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+Q48_SQL = """
+with base as (
+  select doc_id, cast(concat('0x', substr(md5(text), 1, 15)) as bigint) as phash
+  from documents where doc_id < 250
+),
+corpus as (
+  select doc_id, phash from base
+  union all
+  select doc_id + 100000 as doc_id, xor(phash, 5) as phash from base
+),
+banded as (
+  select doc_id, phash, b.band, (phash >> (b.band * 8)) & 255 as band_val
+  from corpus, unnest([0, 1, 2, 3, 4, 5, 6, 7]) as b(band)
+),
+cand as (
+  select distinct a.doc_id as id_a, a.phash as ha, b.doc_id as id_b, b.phash as hb
+  from banded a join banded b
+    on a.band = b.band and a.band_val = b.band_val and a.doc_id < b.doc_id
+)
+select id_a, id_b, cast(bit_count(xor(ha, hb)) as bigint) as hamming
+from cand where bit_count(xor(ha, hb)) <= 7
+"""
+
+
+def q49_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup GROUPS: alternating large-star/small-star
+    connected components (Kiveris et al.) over a deterministic edge set
+    (chains of 10 consecutive doc_ids plus every-40th cross-link —
+    multi-hop components that exercise real convergence, not just
+    pairs). component = min reachable doc_id; oracle = recursive CTE."""
+    from pacasam_spark.operators.components import connected_components
+
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id"
+    )
+    chains = ids.filter(
+        (F.pmod(F.col("doc_id") + 1, F.lit(10)) != 0) & (F.col("doc_id") + 1 < 300)
+    ).select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    links = ids.filter(
+        (F.pmod("doc_id", F.lit(40)) == 7) & (F.col("doc_id") + 40 < 300)
+    ).select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 40).alias("id_b"))
+    return connected_components(chains.unionByName(links))
+
+
+Q49_SQL = """
+with recursive ids as (select doc_id from documents where doc_id < 300),
+chains as (
+  select doc_id as a, doc_id + 1 as b from ids
+  where (doc_id + 1) % 10 != 0 and doc_id + 1 < 300
+),
+links as (
+  select doc_id as a, doc_id + 40 as b from ids
+  where doc_id % 40 = 7 and doc_id + 40 < 300
+),
+edges as (select a, b from chains union all select a, b from links),
+sym as (select a, b from edges where a != b
+        union select b, a from edges where a != b),
+nodes as (select distinct a as id from sym),
+reach(id, r) as (
+  select id, id from nodes
+  union
+  select s.b, r.r from reach r join sym s on s.a = r.id
+)
+select id, min(r) as component from reach group by id
+"""
+
+
 def q39_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-bucketed kNN join over patch centroids (north rule: H3/S2 +
     kNN). Same bucketing replayed by the oracle; brute-force equivalence
@@ -1469,6 +1567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_streaming_sessionize": q45_streaming_sessionize,
         "q46_lsh_cosine_pairs": q46_lsh_cosine_pairs,
         "q47_merge_asof_join": q47_merge_asof_join,
+        "q48_phash_near_dup": q48_phash_near_dup,
+        "q49_dedup_components": q49_dedup_components,
     }
 
 
@@ -1522,4 +1622,6 @@ def oracle_sql() -> dict[str, str]:
         "q45_streaming_sessionize": Q30_SQL,
         "q46_lsh_cosine_pairs": _q46_sql(),
         "q47_merge_asof_join": Q47_SQL,
+        "q48_phash_near_dup": Q48_SQL,
+        "q49_dedup_components": Q49_SQL,
     }

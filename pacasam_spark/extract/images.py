@@ -100,6 +100,29 @@ def extract_patches(
     return joined.mapInPandas(work, schema=EXTRACT_SCHEMA)
 
 
+def compute_phash(images: DataFrame, out_col: str = "phash") -> DataFrame:
+    """(image_id, phash) computed FROM PIXELS — the input_hint's
+    ``phash:int64`` column populated by a real DCT perceptual hash
+    (imaging.phash64): luma, 32x32 resample, 2D DCT, 8x8-coefficient
+    median threshold. One Arrow-batched decode pass (mapInPandas, numpy
+    per batch); join the result back on image_id, then feed
+    operators.dedup.hamming_near_dup_pairs for image near-dup removal.
+    Scale shape: embarrassingly parallel scan, zero shuffles."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pacasam_spark.imaging import decode, phash64
+
+        for pdf in batches:
+            hashes = [
+                phash64(decode(bytes(b), f)) for b, f in zip(pdf.bytes, pdf.fmt)
+            ]
+            yield pd.DataFrame({"image_id": pdf.image_id, out_col: hashes})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        work, schema=f"image_id string, {out_col} long"
+    )
+
+
 def resume_filter(sampling: DataFrame, manifest: DataFrame | None) -> DataFrame:
     """K5: drop ids already extracted (idempotent restart). The manifest
     is the checkpoint table — an anti-join, not a per-row file stat."""

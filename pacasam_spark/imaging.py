@@ -192,6 +192,47 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     return CODECS[fmt][1](data)
 
 
+def _dct_matrix_n(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] = np.sqrt(1.0 / n)
+    return d
+
+
+_DCT32 = _dct_matrix_n(32)
+
+
+def _resize_gray(g: np.ndarray, size: int = 32) -> np.ndarray:
+    """Separable bilinear resample to (size, size); exact block-mean when
+    dimensions divide evenly (the anti-aliasing the hash wants)."""
+    h, w = g.shape
+    if h % size == 0 and w % size == 0:
+        return g.reshape(size, h // size, size, w // size).mean(axis=(1, 3))
+    ys = np.linspace(0, h - 1, size)
+    xs = np.linspace(0, w - 1, size)
+    rows = np.array([np.interp(ys, np.arange(h), g[:, j]) for j in range(w)]).T
+    return np.array([np.interp(xs, np.arange(w), rows[i]) for i in range(size)])
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (the input_hint's ``phash:int64``
+    column, computed from pixels): luma -> 32x32 resample -> 2D DCT-II ->
+    top-left 8x8 coefficients -> bit j = coeff_j > median. Stable under
+    mild noise / lossy re-encode (small Hamming distance), ~32 bits apart
+    for unrelated images — feed into
+    operators.dedup.hamming_near_dup_pairs for image near-dup removal."""
+    gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    g = _resize_gray(gray, 32)
+    low = (_DCT32 @ g @ _DCT32.T)[:8, :8]
+    med = np.median(low.flat[1:])  # exclude DC: it would bias the median
+    bits = (low.flatten() > med).astype(np.uint64)
+    val = np.uint64(0)
+    for j, b in enumerate(bits):
+        val |= b << np.uint64(j)
+    return int(np.int64(val))
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
     if mse == 0:

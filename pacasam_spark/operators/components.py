@@ -1,0 +1,142 @@
+"""Connected components over a pair table — near-dup PAIRS become dedup
+GROUPS (keep one doc per component), the step every web-scale dedup
+pipeline runs after LSH candidate generation. pacasam itself never
+clusters (reference README.md:198 — per-patch decisions only); this is
+engine surface the training-data axes require.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14) — the
+MapReduce-native algorithm, re-expressed as DataFrame aggregations:
+
+- large-star: every node connects its LARGER neighbors to its smallest
+  neighbor (or itself); small-star: connects its smaller-or-equal
+  neighbors likewise. Each phase is one groupBy(min) + one equi-join —
+  no cartesian, no driver-side graph.
+- converges in O(log^2 n) rounds on ANY graph shape (vs O(diameter)
+  for naive min-label propagation — a 10^6-long chain of boilerplate
+  docs would need 10^6 full-shuffle rounds under propagation, ~40
+  here), and intermediate edge counts never exceed O(n + m).
+- the driver loop only compares two scalar counts per round (the same
+  bounded-barrier shape as the samplers' quota loops).
+
+Result contract: (id, component) for every node that appears in the
+pair table, component = MIN node id reachable — deterministic at any
+partitioning, so it is DuckDB-oracle-checkable with a recursive CTE
+(driver q48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """sym: symmetric (u, v) edges, u != v. Connect each node's strictly
+    larger neighbors to min(neighborhood ∪ {u})."""
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """edges: undirected pair list. Orient each edge large->small, then
+    connect each node and its smaller neighbors to the minimum."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    to_min = directed.join(mins, "u")
+    part1 = to_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    part2 = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        part1.unionByName(part2).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(id, component) for every node in ``pairs``; component is the min
+    reachable id. Alternates large-star/small-star until the edge set is
+    a fixed point (checked by count + order-independent checksum — two
+    scalars per round, no driver-side data)."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+
+    def signature(e: DataFrame):
+        row = e.select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        ).agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-independent and cannot overflow (ANSI mode
+            # raises on a plain sum of 64-bit hashes)
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = signature(edges)
+    for _ in range(max_rounds):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # localCheckpoint truncates the logical plan each round — without
+        # it Catalyst re-analyzes a plan that DOUBLES per iteration and
+        # round wall-time explodes (3.8s -> 23s -> minutes by round 3).
+        # Blocks live on executors (ContextCleaner reclaims dropped
+        # rounds); for fault-tolerant long chains on a real cluster, set
+        # a checkpoint dir and swap for .checkpoint() — same contract.
+        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=False)
+        nxt_sig = signature(nxt)
+        edges.unpersist()
+        edges = nxt
+        if nxt_sig == sig:
+            break
+        sig = nxt_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    # fixed point is a forest of stars (child -> component min); roots
+    # have no outgoing edge and are their own component
+    assign = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    out = (
+        nodes.join(assign, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+    return out
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep one row per near-dup component: the component minimum (plus
+    every row that is in no pair). The standard LSH-dedup tail."""
+    comp = connected_components(pairs, src, dst)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

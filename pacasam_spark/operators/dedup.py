@@ -151,6 +151,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "image_id",
+    max_distance: int = 7,
+    n_bands: int | None = None,
+    bits: int = 64,
+    max_bucket_size: int = 10000,
+    return_dropped: bool = False,
+) -> DataFrame:
+    """Near-dup pairs under Hamming distance over an int64 fingerprint
+    column — the image-payload dedup path (BASELINE.json input_hint
+    carries ``phash:int64`` per image; pacasam itself has no image
+    dedup, reference README.md:198 samples by catalogue attributes only).
+
+    LSH by pigeonhole: the ``bits``-bit hash is cut into ``n_bands``
+    contiguous bands (default ``max_distance + 1``); two hashes within
+    ``max_distance`` MUST agree on at least one whole band, so an
+    equi-join on (band, band_val) finds every true pair — never a
+    cartesian, same shape as :func:`lsh_near_dup_pairs`. Candidates are
+    then exact-filtered with ``bit_count(xor) <= max_distance``.
+
+    Same degenerate-bucket guard as the MinHash join: a band value
+    shared by m rows yields m^2 candidates (black/blank images all hash
+    alike at corpus scale); buckets over ``max_bucket_size`` are dropped
+    and surfaced via ``return_dropped``.
+
+    Band extraction uses an UNSIGNED right shift, so negative int64
+    hashes band correctly; oracle twins on signed engines should keep
+    fingerprints in [0, 2^62) (the synthetic phash does).
+    """
+    if n_bands is None:
+        # smallest divisor of `bits` with n_bands >= max_distance + 1
+        # (pigeonhole needs one more band than flipped bits)
+        n_bands = next(
+            d for d in (1, 2, 4, 8, 16, 32, 64) if d >= max_distance + 1
+        )
+    band_bits = bits // n_bands
+    assert band_bits * n_bands == bits, "bits must divide evenly into bands"
+    mask = (1 << band_bits) - 1
+
+    banded = df.select(
+        id_col,
+        hash_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        # SQL form: the Python shiftrightunsigned() only takes a literal
+        # shift, but the shift varies per band row
+        F.expr(f"shiftrightunsigned({hash_col}, band * {band_bits}) & {mask}"),
+    )
+    bucket_sizes = banded.groupBy("band", "band_val").count()
+    bounded = banded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).select(
+            "band", "band_val"
+        ),
+        on=["band", "band_val"],
+        how="left_semi",
+    )
+    a = bounded.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("hash_a"), "band", "band_val"
+    )
+    b = bounded.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("hash_b"), "band", "band_val"
+    )
+    pairs = (
+        a.join(b, on=["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hash_a", "hash_b")
+        .distinct()  # a pair can agree on several bands
+        .withColumn(
+            "hamming", F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b")))
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+    if return_dropped:
+        dropped = bucket_sizes.filter(F.col("count") > max_bucket_size)
+        return pairs, dropped
+    return pairs
+
+
 _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 

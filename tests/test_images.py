@@ -198,3 +198,70 @@ def test_extraction_join_broadcast_size_gate(spark, images):
     plan_big = big._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan_big
     assert "ShuffledHashJoin" in plan_big or "SortMergeJoin" in plan_big
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash64_stable_under_lossy_and_noise():
+    """The DCT perceptual hash is invariant to lossy re-encode and mild
+    pixel noise, and far apart for unrelated images (measured: 0 vs >=14
+    across pairs) — exactly the contract hamming_near_dup_pairs needs."""
+    import numpy as np
+
+    from pacasam_spark.imaging import decode, encode, phash64, synth_pixels
+
+    a = synth_pixels("ph-a", 64, 64)
+    h = phash64(a)
+    for fmt in ("q6", "jl"):
+        assert _ham(h, phash64(decode(encode(a, fmt), fmt))) <= 6
+    rng = np.random.default_rng(0)
+    noisy = np.clip(a.astype(int) + rng.integers(-8, 9, a.shape), 0, 255)
+    assert _ham(h, phash64(noisy.astype(np.uint8))) <= 6
+    b = synth_pixels("ph-b", 64, 64)
+    assert _ham(h, phash64(b)) >= 10
+    # non-divisible resample path
+    assert phash64(synth_pixels("ph-c", 48, 40)) != 0
+
+
+def test_compute_phash_end_to_end_near_dup(spark):
+    """compute_phash over the image catalogue + hamming_near_dup_pairs
+    finds exactly the planted lossy re-encodes of existing images."""
+    from pyspark.sql import functions as F
+
+    from pacasam_spark.extract.images import compute_phash
+    from pacasam_spark.operators.dedup import hamming_near_dup_pairs
+    from pacasam_spark.sources.images import synthetic_images
+
+    images = synthetic_images(spark, n=40, size=32).persist()
+    # planted near-dups: re-encode 10 images in the lossy jl tier
+    def reencode(batch_iter):
+        import pandas as pd
+
+        from pacasam_spark.imaging import decode, encode
+
+        for pdf in batch_iter:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode(bytes(r.bytes), r.fmt)
+                out.append(
+                    ("dup-" + r.image_id, encode(arr, "jl"), r.w, r.h, "jl",
+                     r.caption, r.phash)
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "w", "h", "fmt", "caption",
+                              "phash"])
+
+    dups = images.limit(10).mapInPandas(reencode, schema=images.schema)
+    corpus = images.unionByName(dups)
+    hashed = compute_phash(corpus)
+    pairs = hamming_near_dup_pairs(
+        hashed, hash_col="phash", id_col="image_id", max_distance=6
+    ).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+    expect = sorted(
+        (r["image_id"], "dup-" + r["image_id"]) for r in images.limit(10).collect()
+    )
+    assert got == expect
+    images.unpersist()

@@ -412,3 +412,96 @@ def test_merge_asof_groups_backward_semantics(spark):
         ).collect()
     }
     assert fwd[("u2", 5)] == 102 and fwd[("u1", 20)] is None
+
+
+def test_hamming_near_dup_recall_and_precision(spark):
+    """Pigeonhole recall: every pair within max_distance=7 is found
+    (8 bands of 8 bits -> at least one band must agree); precision is
+    exact via bit_count(xor). Planted dups at distance 2; decoys at
+    large distance must not pair."""
+    from pacasam_spark.operators.dedup import hamming_near_dup_pairs
+
+    rows = [(i, (i * 0x9E3779B97F4A7C15) & ((1 << 62) - 1)) for i in range(300)]
+    rows += [(1000 + i, rows[i][1] ^ 0b101) for i in range(60)]  # dist 2
+    df = spark.createDataFrame(rows, "id long, phash long")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dup_pairs(df, "phash", "id", max_distance=7).collect()
+    )
+    assert got == [(i, 1000 + i, 2) for i in range(60)]
+
+
+def test_hamming_near_dup_negative_hashes(spark):
+    """Unsigned band extraction: negative int64 fingerprints band
+    correctly (the sign bit is just bit 63)."""
+    from pacasam_spark.operators.dedup import hamming_near_dup_pairs
+
+    a = -(1 << 63) + 12345  # top bit set
+    df = spark.createDataFrame(
+        [(1, a), (2, a ^ 3), (3, 0x0F0F0F0F0F0F0F0F)], "id long, phash long"
+    )
+    got = [(r["id_a"], r["id_b"], r["hamming"])
+           for r in hamming_near_dup_pairs(df, "phash", "id").collect()]
+    assert got == [(1, 2, 2)]
+
+
+def test_hamming_bucket_guard_surfaces_dropped(spark):
+    from pacasam_spark.operators.dedup import hamming_near_dup_pairs
+
+    # 50 identical hashes -> every band bucket holds 50 rows
+    df = spark.createDataFrame([(i, 42) for i in range(50)], "id long, phash long")
+    pairs, dropped = hamming_near_dup_pairs(
+        df, "phash", "id", max_bucket_size=10, return_dropped=True
+    )
+    assert pairs.count() == 0
+    assert dropped.count() == 8  # all 8 bands guarded
+    full = hamming_near_dup_pairs(df, "phash", "id")
+    assert full.count() == 50 * 49 // 2
+
+
+def test_connected_components_matches_union_find(spark):
+    """Alternating large-star/small-star vs a driver-side union-find on a
+    random graph plus long chains (multi-hop convergence)."""
+    import random
+
+    from pacasam_spark.operators.components import connected_components
+
+    random.seed(11)
+    edges = [(i, i + 1) for i in range(100) if (i + 1) % 25 != 0]  # chains of 25
+    edges += [
+        (random.randrange(200, 320), random.randrange(200, 320)) for _ in range(120)
+    ]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r["id"], r["component"]) for r in connected_components(e).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            parent[find(a)] = find(b)
+    nodes = {n for ab in edges if ab[0] != ab[1] for n in ab}
+    roots: dict[int, list[int]] = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    expect = {(n, min(roots[find(n)])) for n in nodes}
+    assert got == expect
+
+
+def test_dedup_by_components_keeps_component_minimum(spark):
+    from pyspark.sql import functions as F
+
+    from pacasam_spark.operators.components import dedup_by_components
+
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    # components {0..9} via a chain, {20, 21} via one pair
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(20, 21)], "id_a long, id_b long"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_by_components(docs, pairs).collect())
+    assert kept == [0] + list(range(10, 21)) + list(range(22, 60))
