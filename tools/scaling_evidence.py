@@ -114,6 +114,71 @@ print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
                   "patches_per_sec": row["n"]/dt, "result_md5": h}))
 """
 
+# Bucketed variant of the parquet worker (verdict r2 item 8): the
+# catalogue is written ONCE bucketed by file_id (32 buckets); each level
+# adopts it by DDL into its own in-memory catalog. The chunk-rank stage
+# (groupBy(file_id) counts + Window.partitionBy(file_id)) then plans ZERO
+# exchanges — one of the two full-data shuffles is gone, paid once at
+# ingest instead of per sampling run.
+BUCKETED_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+cores, db_size, target, _ = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+import os
+path = os.environ["SCALING_BUCKETED"]
+from pacasam_spark.session import get_spark
+from pacasam_spark.sources.bucketed import register_bucketed_catalogue
+from pacasam_spark.samplers import DiversitySampler
+from pyspark.sql import functions as F
+from pacasam_spark.operators.hashing import det_hash
+
+spark = get_spark(app_name=f"scaling_bk_{cores}", cores=int(cores))
+db = register_bucketed_catalogue(spark, "scaling_cat", path, n_buckets=32)
+cfg = {
+    "target_total_num_patches": target,
+    "frac_validation_set": 0.1,
+    "DiversitySampler": {"max_chunk_size_for_fps": 20000,
+        "normalization": "standardization",
+        "columns": ["nb_sol","nb_bati","nb_vegetation_basse",
+                    "nb_vegetation_moyenne","nb_vegetation_haute",
+                    "nb_pont","nb_eau","nb_sursol_perenne","nb_non_classes"]},
+}
+# warm-up on a DIFFERENT quota (CacheManager donates equal plans), then
+# drop any plan caches
+wcfg = dict(cfg); wcfg["target_total_num_patches"] = max(100, target // 7)
+DiversitySampler(spark.table("scaling_cat"), wcfg, seed=1).get_patches().count()
+spark.catalog.clearCache()
+
+t0 = time.perf_counter()
+sel = DiversitySampler(spark.table("scaling_cat"), dict(cfg), seed=42).get_patches()
+row = sel.agg(
+    F.count("*").alias("n"),
+    F.sum(det_hash("patch_id", 99)).alias("hsum"),
+    F.sum(F.crc32(F.concat_ws("|", "patch_id", "split"))).alias("csum"),
+).first()
+dt = time.perf_counter() - t0
+import hashlib
+h = hashlib.md5(f"{row['n']}|{row['hsum']}|{row['csum']}".encode()).hexdigest()
+print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
+                  "patches_per_sec": row["n"]/dt, "result_md5": h}))
+"""
+
+PREPARE_BUCKETED = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+db_size, path = int(sys.argv[1]), sys.argv[2]
+from pacasam_spark.session import get_spark
+from pacasam_spark.sources.synthetic import synthetic_catalogue
+from pacasam_spark.sources.bucketed import write_bucketed_catalogue
+from pacasam_spark import schemas as S
+spark = get_spark(app_name="scaling_prepare_bucketed", cores=32)
+cols = ["patch_id", "file_id"] + list(S.NB_POINT_COLS)
+db = synthetic_catalogue(spark, db_size=db_size, exact_counts=False).select(*cols)
+write_bucketed_catalogue(db, "scaling_cat_prep", path, n_buckets=32)
+print("prepared", path)
+"""
+
 WORKER = r"""
 import json, sys, time
 sys.path.insert(0, "/root/repo")
@@ -170,11 +235,11 @@ print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
 """
 
 
-def prepare_parquet(db_size: int, path: str) -> None:
+def prepare_parquet(db_size: int, path: str, script: str = PREPARE_PARQUET) -> None:
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
     out = subprocess.run(
-        [sys.executable, "-c", PREPARE_PARQUET, str(db_size), path],
+        [sys.executable, "-c", script, str(db_size), path],
         capture_output=True, text=True, env={**os.environ},
     )
     if "prepared" not in out.stdout:
@@ -182,9 +247,11 @@ def prepare_parquet(db_size: int, path: str) -> None:
 
 
 def run(cores: int, db_size: int, target: int, sampler: str) -> dict:
-    worker = {"extract": EXTRACT_WORKER, "DiversityParquet": PARQUET_WORKER}.get(
-        sampler, WORKER
-    )
+    worker = {
+        "extract": EXTRACT_WORKER,
+        "DiversityParquet": PARQUET_WORKER,
+        "DiversityBucketed": BUCKETED_WORKER,
+    }.get(sampler, WORKER)
     out = subprocess.run(
         [sys.executable, "-c", worker, str(cores), str(db_size), str(target), sampler],
         capture_output=True, text=True, env={**os.environ},
@@ -206,6 +273,11 @@ def main() -> None:
             "SCALING_PARQUET", f"/tmp/scaling_catalogue_{db_size}.parquet"
         )
         prepare_parquet(db_size, path)
+    elif sampler == "DiversityBucketed":
+        path = os.environ.setdefault(
+            "SCALING_BUCKETED", f"/tmp/scaling_catalogue_{db_size}_bucketed"
+        )
+        prepare_parquet(db_size, path, script=PREPARE_BUCKETED)
     # The sandbox VM sees invisible neighbor contention (load avg > 0 with
     # no local processes); interleaved best-of-k trials reject that noise.
     runs_n, runs_4n = [], []
