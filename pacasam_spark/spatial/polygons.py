@@ -79,14 +79,38 @@ def edges_sql_literal(verts: Polygon) -> str:
     )
 
 
+def _point_in_polygon_py(px: float, py: float, edges: list[list[float]]) -> bool:
+    """Driver-side twin of :func:`point_in_polygon` (same even-odd fold)."""
+    inside = False
+    for x1, y1, x2, y2 in edges:
+        if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
 def polygon_zone_cells(
     spark,
     zones: list[tuple[str, Polygon]],
     level: int,
     base: float = BASE_CELL_M,
 ) -> DataFrame:
-    """(zone_id, cell, edges) — one row per level-k cell overlapping the
-    polygon's bbox. Small; broadcast it."""
+    """(zone_id, cell, edges, interior) — one row per level-k cell
+    overlapping the polygon, CLASSIFIED at build time (the per-cell
+    R-tree role, done once on the tiny zone table, broadcast):
+
+    - no polygon edge's bbox intersects the cell => the cell is uniform
+      (the boundary cannot cross it). Its center decides: fully INSIDE
+      cells get ``interior=true`` and an EMPTY edge list (matched points
+      skip the ray cast entirely — for a large zone almost all cells),
+      fully outside cells are dropped (never even join — the bbox-only
+      version shipped every cell of the bbox, so a diagonal strip
+      polygon broadcast ~2x the cells and ray-cast every point in them);
+    - cells the boundary may cross keep the edge array for the exact
+      per-point test.
+
+    Edge-bbox overlap is conservative: it can only mis-file an interior
+    cell as boundary (extra ray casts, same result), never the reverse.
+    """
     edge_len = cell_edge(level, base)
     rows = []
     for zid, verts in zones:
@@ -97,9 +121,25 @@ def polygon_zone_cells(
         cy0, cy1 = int(min(ys) // edge_len), int((max(ys) - 1e-9) // edge_len)
         for cx in range(cx0, cx1 + 1):
             for cy in range(cy0, cy1 + 1):
-                rows.append((zid, f"{cx}_{cy}", edges))
+                x0, x1 = cx * edge_len, (cx + 1) * edge_len
+                y0, y1 = cy * edge_len, (cy + 1) * edge_len
+                boundary = any(
+                    min(ex1, ex2) <= x1
+                    and max(ex1, ex2) >= x0
+                    and min(ey1, ey2) <= y1
+                    and max(ey1, ey2) >= y0
+                    for ex1, ey1, ex2, ey2 in edges
+                )
+                if boundary:
+                    rows.append((zid, f"{cx}_{cy}", edges, False))
+                elif _point_in_polygon_py(
+                    (x0 + x1) / 2.0, (y0 + y1) / 2.0, edges
+                ):
+                    rows.append((zid, f"{cx}_{cy}", [], True))
+                # else: uniform-outside cell — dropped
     return spark.createDataFrame(
-        rows, "zone_id string, cell string, edges array<array<double>>"
+        rows,
+        "zone_id string, cell string, edges array<array<double>>, interior boolean",
     )
 
 
@@ -111,12 +151,15 @@ def join_points_to_polygons(
     level: int,
     base: float = BASE_CELL_M,
 ) -> DataFrame:
-    """Cell-coarse broadcast equi-join + exact ray-cast filter."""
+    """Cell-coarse broadcast equi-join; exact ray-cast only in boundary
+    cells (interior cells accept directly, outside cells never join)."""
     spark = points.sparkSession
     zdf = polygon_zone_cells(spark, zones, level, base)
     pts = points.withColumn("__cell", cell_id(F.col(x), F.col(y), level, base))
     joined = pts.join(F.broadcast(zdf), pts["__cell"] == zdf["cell"])
     return (
-        joined.filter(point_in_polygon(F.col(x), F.col(y), F.col("edges")))
-        .drop("__cell", "cell", "edges")
+        joined.filter(
+            F.col("interior") | point_in_polygon(F.col(x), F.col(y), F.col("edges"))
+        )
+        .drop("__cell", "cell", "edges", "interior")
     )

@@ -122,3 +122,37 @@ def test_polygon_join_is_cell_pruned_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Cartesian" not in plan
+
+
+def test_polygon_cell_classification_exact_and_pruning(spark):
+    """Interior/boundary/outside cell classification: results stay
+    bit-identical to the per-point ray cast, while (a) uniform-outside
+    cells of the bbox never join and (b) interior cells skip the ray
+    cast (empty edge list)."""
+    from pacasam_spark.spatial.polygons import (
+        join_points_to_polygons,
+        polygon_zone_cells,
+    )
+
+    # big L-shape over a fine grid: bbox 40x40 at base 4 -> 100 bbox
+    # cells, of which ~25 are outside the L and ~dozens interior
+    lshape = [(0.0, 0.0), (40.0, 0.0), (40.0, 20.0), (20.0, 20.0),
+              (20.0, 40.0), (0.0, 40.0)]
+    cells = polygon_zone_cells(spark, [("z", lshape)], level=0, base=4.0)
+    rows = cells.collect()
+    n_interior = sum(1 for r in rows if r["interior"])
+    assert n_interior > 0
+    assert all(len(r["edges"]) == 0 for r in rows if r["interior"])
+    assert len(rows) < 100  # uniform-outside bbox cells dropped
+    assert n_interior < len(rows)  # boundary cells remain exact
+
+    pts = [(i, 0.3 + 1.9 * (i % 23), 0.3 + 1.7 * (i // 23)) for i in range(500)]
+    df = spark.createDataFrame(pts, "pid int, px double, py double")
+    got = {
+        r["pid"]
+        for r in join_points_to_polygons(
+            df, [("z", lshape)], "px", "py", level=0, base=4.0
+        ).collect()
+    }
+    want = {pid for pid, px, py in pts if _pip_py(px, py, lshape)}
+    assert got == want
