@@ -1465,6 +1465,40 @@ select id, min(r) as component from reach group by id
 """
 
 
+def q50_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-native session_window sessionization — the scale path
+    for q30 (partial-merging hash agg, no per-user sort window; same
+    expression streams under a watermark). Oracle: the lag-flag
+    sessionizer aggregated to (start, end, count); the testdata has no
+    exact-gap boundary events, so the two closure semantics coincide
+    (pre-checked: zero adjacent pairs at exactly 30 min)."""
+    from pacasam_spark.streaming.events import session_rollup
+
+    return session_rollup(_t(spark, sf_dir, "events"))
+
+
+Q50_SQL = """
+with g as (
+  select user_id, ts,
+         case when lag(ts) over w is null
+                or ts > lag(ts) over w + interval 30 minute
+              then 1 else 0 end as new_sess
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+s as (
+  select user_id, ts,
+         sum(new_sess) over (partition by user_id order by ts
+                             rows unbounded preceding) as sess_seq
+  from g
+)
+select user_id, min(ts) as session_start,
+       max(ts) + interval 30 minute as session_end,
+       count(*) as n_events
+from s group by user_id, sess_seq
+"""
+
+
 def q39_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-bucketed kNN join over patch centroids (north rule: H3/S2 +
     kNN). Same bucketing replayed by the oracle; brute-force equivalence
@@ -1569,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_merge_asof_join": q47_merge_asof_join,
         "q48_phash_near_dup": q48_phash_near_dup,
         "q49_dedup_components": q49_dedup_components,
+        "q50_session_window": q50_session_window,
     }
 
 
@@ -1624,4 +1659,5 @@ def oracle_sql() -> dict[str, str]:
         "q47_merge_asof_join": Q47_SQL,
         "q48_phash_near_dup": Q48_SQL,
         "q49_dedup_components": Q49_SQL,
+        "q50_session_window": Q50_SQL,
     }

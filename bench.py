@@ -61,6 +61,11 @@ def main() -> None:
         "q14_cell_index",
         "q16_standardize",
         "q17_percent_rank",
+        # round 3 additions: image-payload dedup + graph clustering +
+        # native session windows (BENCH.md notes the headline-set change)
+        "q48_phash_near_dup",
+        "q49_dedup_components",
+        "q50_session_window",
     ]
     queries = E.queries()
     timings: dict[str, float] = {}

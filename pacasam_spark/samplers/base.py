@@ -131,8 +131,26 @@ class Sampler:
         spark.createDataFrame([(fp,)], "fingerprint string").coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{path}/_meta")
+        # per-PARTITION lineage (north rule): one row per task of the
+        # committed stage — rows + bytes actually read back, keyed by
+        # stage and fingerprint, so skew in a resumed run is diagnosable
+        # from the checkpoint dir alone. One cheap count-shuffle over the
+        # already-written stage, and the stage total is derived from it
+        # (no second count job).
+        parts = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count()
+            .withColumnRenamed("count", "n_rows")
+            .withColumn("stage", F.lit(name))
+            .withColumn("fingerprint", F.lit(fp))
+        ).persist()
+        n_rows = parts.agg(F.sum("n_rows")).first()[0] or 0
+        parts.write.mode("append").parquet(
+            f"{self.checkpoint_dir}/_lineage_partitions"
+        )
+        parts.unpersist()
         lineage = spark.createDataFrame(
-            [(name, out.count(), time.perf_counter() - t0, self.seed)],
+            [(name, n_rows, time.perf_counter() - t0, self.seed)],
             "stage string, n_rows long, wall_sec double, seed long",
         )
         lineage.write.mode("append").parquet(f"{self.checkpoint_dir}/_lineage")

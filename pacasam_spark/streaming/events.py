@@ -45,6 +45,75 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def session_rollup(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessions via Catalyst's native ``session_window`` — the
+    scale path for sessionization: a partial-merging hash aggregation
+    (sessions merge map-side within partitions before the user_id
+    shuffle), no per-user sort window, and the SAME expression runs under
+    ``readStream`` with a watermark for the unbounded case. Returns
+    (user_id, session_start, session_end, n_events); on gap-boundary-free
+    data it agrees exactly with the cumulative-flag sessionizer (q30),
+    differing only for events at EXACTLY ``gap`` apart (window is
+    half-open, the lag-flag form closes at >)."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def session_rollup_stream(
+    spark: SparkSession,
+    events_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """``session_rollup`` under ``readStream`` + watermark, append mode —
+    the production-stream shape (late data beyond ``watermark`` is
+    dropped, finalized sessions emit exactly once). On a bounded file
+    source the output is every session whose end precedes the final
+    watermark; sessions still open within ``gap`` of the last observed
+    event stay pending (the streaming-vs-batch delta is exactly those
+    tail sessions)."""
+    name = f"session_rollup_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    sessions = (
+        # watermarks require TIMESTAMP (not NTZ); the session timezone is
+        # pinned to UTC, so the round-trip cast is the identity
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the rollup as a Structured Streaming query over the events
     parquet (file source, bounded), drain it through a memory sink in

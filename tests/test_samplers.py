@@ -247,3 +247,26 @@ def test_checkpoint_fingerprint_guards_stale_resume(spark, catalogue, tmp_path):
         for r in TripleSampler(catalogue, cfg_a, seed=43).get_patches().collect()
     )
     assert rerun_b == run_b
+
+
+def test_checkpoint_partition_lineage(spark, catalogue, tmp_path):
+    """Each committed stage appends per-partition row counts keyed by
+    stage + fingerprint; totals agree with the stage lineage."""
+    from pacasam_spark.samplers import TripleSampler
+    from tests.conftest import SAMPLING_CONFIG
+
+    from pyspark.sql import functions as F
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = {**SAMPLING_CONFIG, "checkpoint_dir": ckpt}
+    TripleSampler(catalogue, cfg, seed=42).get_patches().collect()
+
+    parts = spark.read.parquet(f"{ckpt}/_lineage_partitions")
+    lineage = spark.read.parquet(f"{ckpt}/_lineage")
+    assert set(parts.columns) == {"partition_id", "n_rows", "stage", "fingerprint"}
+    per_stage = {
+        r["stage"]: r["total"]
+        for r in parts.groupBy("stage").agg(F.sum("n_rows").alias("total")).collect()
+    }
+    for r in lineage.collect():
+        assert per_stage[r["stage"]] == r["n_rows"]

@@ -61,3 +61,35 @@ def test_sessionize_stateful_rejects_out_of_order_batches(spark, tmp_path):
 
     with pytest.raises(Exception, match="out-of-order"):
         sessionize_stateful(spark, d).collect()
+
+
+def test_session_rollup_stream_append_matches_batch(spark, tmp_path):
+    """session_rollup under readStream + watermark (append mode) emits
+    exactly the batch sessions finalized before the last watermark: a
+    far-future 'flush' event closes everything earlier; only its own
+    still-open session stays pending."""
+    from pacasam_spark.streaming.events import session_rollup, session_rollup_stream
+
+    d = str(tmp_path / "ev_sw")
+    os.makedirs(d)
+    _write_events(
+        spark, f"{d}/events_a.parquet", [(1, 0), (1, 10), (2, 0), (1, 90)]
+    )
+    os.utime(f"{d}/events_a.parquet", (1_000_000, 1_000_000))
+    # batch 2: one event per user far in the future (the flush sessions)
+    _write_events(spark, f"{d}/events_b.parquet", [(1, 100000), (2, 100000)])
+    os.utime(f"{d}/events_b.parquet", (2_000_000, 2_000_000))
+
+    batch = session_rollup(spark.read.parquet(f"{d}/*.parquet"))
+    flush_start = T0 + dt.timedelta(minutes=100000)
+    expected = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+        if r["session_start"] != flush_start  # pending at stream end
+    )
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_rollup_stream(spark, f"{d}/*.parquet").collect()
+    )
+    assert got == expected
+    assert len(got) == 3  # u1: [0,10], [90]; u2: [0]
