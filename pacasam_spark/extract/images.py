@@ -39,11 +39,12 @@ def extract_patches(
     images: DataFrame,
     sampling: DataFrame,
     crop: tuple[int, int, int, int] | None = None,
+    resize: tuple[int, int] | None = None,
     out_fmt: str | None = None,
     sampling_rows: int | None = None,
     broadcast_threshold: int | None = None,
 ) -> DataFrame:
-    """J1 extraction join + E2/E3 decode-crop-encode.
+    """J1 extraction join + E2/E3 decode-crop-resize-encode.
 
     images: the catalogue (image_id, bytes, w, h, fmt, caption, phash).
     sampling: (image_id, split) selection — broadcast only when provably
@@ -51,6 +52,8 @@ def extract_patches(
     run_extraction accepts arbitrary sampling parquet).
     sampling_rows: pass the count if already known to skip the size probe.
     crop: (x0, y0, cw, ch) window or None for full frames.
+    resize: (out_w, out_h) bilinear/block-mean resample after the crop,
+        or None to keep dimensions (training-pipeline thumbnail path).
     out_fmt: target codec (default: keep source format).
     """
     from pacasam_spark.operators.joins import (
@@ -71,7 +74,7 @@ def extract_patches(
     )
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pacasam_spark.imaging import decode, encode
+        from pacasam_spark.imaging import decode, encode, resize_rgb
 
         for pdf in batches:
             rows = []
@@ -80,6 +83,8 @@ def extract_patches(
                 if crop is not None:
                     x0, y0, cw, ch = crop
                     arr = arr[y0 : y0 + ch, x0 : x0 + cw]
+                if resize is not None:
+                    arr = resize_rgb(arr, resize[0], resize[1])
                 fmt = out_fmt or r.fmt
                 rows.append(
                     (

@@ -215,6 +215,31 @@ def _resize_gray(g: np.ndarray, size: int = 32) -> np.ndarray:
     return np.array([np.interp(xs, np.arange(w), rows[i]) for i in range(size)])
 
 
+def resize_rgb(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Separable bilinear resize of an (H, W, 3) uint8 image; exact
+    block-mean when downscaling by integer factors (anti-aliased like
+    the hash resampler). Pure numpy — runs inside Arrow batches."""
+    h, w, _ = arr.shape
+    if h % out_h == 0 and w % out_w == 0:
+        out = arr.astype(np.float64).reshape(
+            out_h, h // out_h, out_w, w // out_w, 3
+        ).mean(axis=(1, 3))
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    ys = np.linspace(0, h - 1, out_h)
+    xs = np.linspace(0, w - 1, out_w)
+    y0 = np.floor(ys).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x0 = np.floor(xs).astype(int)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    a = arr.astype(np.float64)
+    top = a[y0][:, x0] * (1 - fx) + a[y0][:, x1] * fx
+    bot = a[y1][:, x0] * (1 - fx) + a[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def phash64(arr: np.ndarray) -> int:
     """64-bit DCT perceptual hash (the input_hint's ``phash:int64``
     column, computed from pixels): luma -> 32x32 resample -> 2D DCT-II ->

@@ -140,3 +140,64 @@ def dedup_by_components(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def near_dedup_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 4,
+    min_shared_bands: int = 2,
+    jaccard_threshold: float | None = 0.7,
+    max_bucket_size: int = 10000,
+) -> DataFrame:
+    """The full web-corpus near-dedup pipeline in one call:
+    MinHash-LSH candidates -> (optional) exact n-gram-Jaccard verify on
+    the candidate pairs only -> connected components -> keep the minimum
+    id per duplicate cluster. Every stage is the bounded-join shape the
+    individual operators guarantee (candidates linear in N via the
+    bucket cap, Jaccard computed ONLY on candidates, clustering in
+    O(log^2 n) rounds) — the composition stays 100 TB-safe.
+
+    jaccard_threshold=None skips verification and clusters raw LSH
+    candidates (recall-leaning); with a threshold, false LSH collisions
+    cannot chain unrelated documents into one cluster (precision-leaning
+    — the mode real pipelines run)."""
+    from pacasam_spark.operators.dedup import lsh_near_dup_pairs, shingle_table
+
+    pairs = lsh_near_dup_pairs(
+        df,
+        text_col,
+        id_col,
+        n=n,
+        bands=bands,
+        min_shared_bands=min_shared_bands,
+        max_bucket_size=max_bucket_size,
+    )
+    if jaccard_threshold is not None:
+        sh = shingle_table(df, text_col, id_col, n)
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+        inter = (
+            pairs.select("id_a", "id_b")
+            .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        pairs = (
+            inter.join(
+                sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+                "id_b",
+            )
+            .filter(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                >= jaccard_threshold
+            )
+        )
+    return dedup_by_components(df, pairs, id_col=id_col)

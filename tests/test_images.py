@@ -265,3 +265,41 @@ def test_compute_phash_end_to_end_near_dup(spark):
     )
     assert got == expect
     images.unpersist()
+
+
+def test_resize_rgb_blockmean_and_bilinear():
+    """Integer-factor downscale is an exact block mean; non-integer path
+    is bilinear; identity resize is lossless."""
+    import numpy as np
+
+    from pacasam_spark.imaging import resize_rgb, synth_pixels
+
+    a = synth_pixels("rz-a", 64, 64)
+    assert np.array_equal(resize_rgb(a, 64, 64), a)  # identity
+    half = resize_rgb(a, 32, 32)
+    expect = np.round(
+        a.astype(np.float64).reshape(32, 2, 32, 2, 3).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    assert np.array_equal(half, expect)
+    odd = resize_rgb(a, 48, 24)  # non-integer: bilinear path
+    assert odd.shape == (24, 48, 3)
+    assert odd.std() > 0
+
+
+def test_extract_patches_resize(spark):
+    """Thumbnail extraction: crop then resize, dims recorded in w/h."""
+    from pacasam_spark.extract.images import extract_patches
+    from pacasam_spark.sources.images import synthetic_images
+    from pyspark.sql import functions as F
+
+    images = synthetic_images(spark, n=12, size=64)
+    sampling = images.select("image_id").withColumn("split", F.lit("train"))
+    out = extract_patches(
+        images, sampling, crop=(0, 0, 48, 48), resize=(16, 16), out_fmt="png"
+    ).collect()
+    assert len(out) == 12
+    assert all(r["w"] == 16 and r["h"] == 16 for r in out)
+    from pacasam_spark.imaging import decode
+
+    arr = decode(bytes(out[0]["bytes"]), "png")
+    assert arr.shape == (16, 16, 3)

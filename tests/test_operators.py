@@ -505,3 +505,25 @@ def test_dedup_by_components_keeps_component_minimum(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_by_components(docs, pairs).collect())
     assert kept == [0] + list(range(10, 21)) + list(range(22, 60))
+
+
+def test_near_dedup_documents_pipeline(spark):
+    """One-call near-dedup: duplicated + slightly-mutated docs collapse
+    to one survivor (the min id) per cluster; unrelated docs survive.
+    Jaccard verification keeps false LSH collisions from chaining
+    clusters."""
+    from pacasam_spark.operators.components import near_dedup_documents
+
+    base = [
+        (i, " ".join(f"tok{i}w{j}" for j in range(30))) for i in range(20)
+    ]
+    dups = [(100 + i, t) for i, t in base[:8]]  # exact copies
+    mutated = [
+        (200 + i, t.replace(f"tok{i}w5", "CHANGED")) for i, t in base[:5]
+    ]  # near copies (29/31 shingle overlap)
+    df = spark.createDataFrame(base + dups + mutated, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"] for r in near_dedup_documents(df, jaccard_threshold=0.6).collect()
+    )
+    # survivors: the 20 base docs only (copies + mutations clustered in)
+    assert kept == [i for i in range(20)]

@@ -93,6 +93,42 @@ def main() -> int:
     p = plan_of(E.q42_quantile_transform(spark, sf))
     ok &= check("q42 no Python UDF", "Python" not in p)
 
+    # q48: phash near-dup candidates meet in a (band, band_val) equi-join
+    # — no cartesian, everything codegen (no Python UDF)
+    p = plan_of(E.q48_phash_near_dup(spark, sf))
+    ok &= check("q48 no cartesian", "Cartesian" not in p and "NestedLoop" not in p)
+    ok &= check("q48 no Python UDF", "Python" not in p)
+
+    # q50: native session_window is a hash aggregation with map-side
+    # partial merging — NOT a per-user sort window
+    p = plan_of(E.q50_session_window(spark, sf))
+    ok &= check("q50 partial session agg", "partial_count" in p or "partial" in p.lower())
+    ok &= check("q50 no window sort", "Window" not in p)
+
+    # bucketed catalogue: the chunk-rank stage plans ZERO exchanges
+    from pacasam_spark.operators.fps import add_deterministic_chunk_ids
+    from pacasam_spark.sources.bucketed import write_bucketed_catalogue
+    from pacasam_spark.sources.synthetic import synthetic_catalogue
+
+    tbl = write_bucketed_catalogue(
+        synthetic_catalogue(spark, db_size=2000),
+        "plan_check_bucketed",
+        "/tmp/plan_check_bucketed",
+        n_buckets=8,
+    )
+    # count hash-partitioning exchanges on the EXECUTED plan: the formatted
+    # explain also lists the broadcast exchange and the SinglePartition
+    # exchange of the tiny distinct-file offsets window (documented driver
+    # barrier) — the claim is that no FULL-DATA shuffle remains
+    chunked = add_deterministic_chunk_ids(tbl, 100)
+    ep = chunked._jdf.queryExecution().executedPlan().toString()
+    ok &= check(
+        "bucketed chunk-rank zero data shuffles",
+        ep.count("Exchange hashpartitioning") == 0 and "Bucketed: true" in ep,
+        f"{ep.count('Exchange hashpartitioning')} hash exchanges",
+    )
+    spark.sql("DROP TABLE IF EXISTS plan_check_bucketed")
+
     # large-n random sample: the distributed trim must not TakeOrdered n
     from pacasam_spark.operators.sampling import sample_randomly
 
