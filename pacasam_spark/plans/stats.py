@@ -17,13 +17,17 @@ SURFACE_OF_A_KM2 = 1000 * 1000
 
 
 def _bool_cols(df: DataFrame) -> list[str]:
-    """Non-nullable boolean descriptors. The nullable `test` flag is
-    excluded — in the reference it is float/object dtype because of NaN,
-    so select_dtypes(include=bool) never picks it up (stats.py:66)."""
+    """Boolean descriptors, excluding the tri-state `test` split flag BY
+    NAME — in the reference it is float/object dtype because of NaN, so
+    select_dtypes(include=bool) never picks it up (stats.py:66). A
+    nullability test is NOT a usable proxy: any parquet/DDL round-trip
+    (file connectors, the bucketed table) makes every column nullable,
+    which silently emptied the descriptor list for file-based
+    catalogues."""
     return [
         f.name
         for f in df.schema.fields
-        if isinstance(f.dataType, T.BooleanType) and not f.nullable
+        if isinstance(f.dataType, T.BooleanType) and f.name != "test"
     ]
 
 

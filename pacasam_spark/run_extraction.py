@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["ImagePatchExtractor"])
     p.add_argument("--out_fmt", default=None, help="re-encode codec (default: keep)")
     p.add_argument("--crop", default=None, help="x0,y0,w,h crop window")
+    p.add_argument("--resize", default=None,
+                   help="w,h bilinear/block-mean resample after the crop")
     p.add_argument("--num-partitions", type=int, default=0,
                    help="repartition the work (0 = leave to the source/AQE)")
     return p
@@ -65,8 +67,10 @@ def run(args: argparse.Namespace) -> dict:
     n_todo = todo.count()
 
     crop = tuple(int(v) for v in args.crop.split(",")) if args.crop else None
+    resize = tuple(int(v) for v in args.resize.split(",")) if args.resize else None
     extracted = extract_patches(
-        images, todo, crop=crop, out_fmt=args.out_fmt, sampling_rows=n_todo
+        images, todo, crop=crop, resize=resize, out_fmt=args.out_fmt,
+        sampling_rows=n_todo,
     ).persist()
 
     ext = args.out_fmt or "bin"

@@ -156,3 +156,63 @@ def test_wms_fetch_bounded_retry(spark):
     assert rows["a"]["bytes"] is not None and rows["a"]["error"] is None
     assert rows["dead"]["bytes"] is None and "always down" in rows["dead"]["error"]
     assert rows["dead"]["n_attempts"] == 3  # 1 + max_retries
+
+
+def test_run_sampling_bucketed_connector(spark, tmp_path):
+    """BucketedConnector: the scale layout drives the same config
+    workflow — selection identical to the plain-parquet connector run
+    (same seed, same data, different physical layout)."""
+    from pacasam_spark.run_sampling import main
+    from pacasam_spark.sources.bucketed import write_bucketed_catalogue
+    from pacasam_spark.sources.synthetic import synthetic_catalogue
+
+    bucket_dir = str(tmp_path / "bucketed_cat")
+    plain_dir = str(tmp_path / "plain_cat")
+    db = synthetic_catalogue(spark, db_size=200)
+    db.write.mode("overwrite").parquet(plain_dir)
+    write_bucketed_catalogue(db, "cli_bucketed_cat", bucket_dir, n_buckets=4)
+    spark.sql("DROP TABLE IF EXISTS cli_bucketed_cat")
+
+    cfg = f"""
+target_total_num_patches: 50
+frac_validation_set: 0.1
+connector_kwargs:
+  path: {bucket_dir}
+  table: cli_bucketed_adopted
+  n_buckets: 4
+DiversitySampler:
+  max_chunk_size_for_fps: 100
+  normalization: standardization
+  columns: [nb_sol, nb_bati, nb_eau]
+"""
+    cfg_path = str(tmp_path / "bucketed.yml")
+    with open(cfg_path, "w") as fh:
+        fh.write(cfg)
+    out = str(tmp_path / "out_bucketed")
+    main([
+        "--config", cfg_path,
+        "--connector_class", "BucketedConnector",
+        "--sampler_class", "DiversitySampler",
+        "--output", out,
+    ])
+    sel_b = spark.read.parquet(f"{out}/BucketedConnector-DiversitySampler-any")
+    assert sel_b.count() == 50
+
+    cfg_plain = cfg.replace(f"path: {bucket_dir}", f"path: {plain_dir}").replace(
+        "  table: cli_bucketed_adopted\n  n_buckets: 4\n", ""
+    )
+    cfg_plain_path = str(tmp_path / "plain.yml")
+    with open(cfg_plain_path, "w") as fh:
+        fh.write(cfg_plain)
+    out2 = str(tmp_path / "out_plain")
+    main([
+        "--config", cfg_plain_path,
+        "--connector_class", "GeopandasConnector",
+        "--sampler_class", "DiversitySampler",
+        "--output", out2,
+    ])
+    sel_p = spark.read.parquet(f"{out2}/GeopandasConnector-DiversitySampler-any")
+    assert sorted(r["patch_id"] for r in sel_b.collect()) == sorted(
+        r["patch_id"] for r in sel_p.collect()
+    )
+    spark.sql("DROP TABLE IF EXISTS cli_bucketed_adopted")
