@@ -1499,6 +1499,69 @@ from s group by user_id, sess_seq
 """
 
 
+def q51_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL near-dedup pipeline as one gated query: MinHash-LSH
+    candidates -> exact Jaccard verification on candidates only ->
+    large-star/small-star connected components -> keep the minimum id
+    per cluster. Over the duplicated corpus the survivors are exactly
+    the original documents; the oracle replays every stage in SQL
+    (components via recursive CTE)."""
+    from pacasam_spark.operators.components import near_dedup_documents
+
+    return near_dedup_documents(
+        _dup_corpus(spark, sf_dir, limit=100), jaccard_threshold=0.5
+    ).select("doc_id")
+
+
+Q51_SQL = f"""
+with recursive corpus as ({_DUP_SQL.format(where='where doc_id < 100')}),
+words as (select doc_id, {_DDB_WORDS} as w from corpus),
+sh as (
+  select distinct doc_id, array_to_string(list_slice(w, i, i + 2), ' ') as shingle
+  from words, unnest(range(1, greatest(len(w) - 1, 1))) as t(i)
+),
+banded as (
+  select doc_id, b.band, shingle from sh, unnest([0, 1, 2, 3]) as b(band)
+),
+sigs as (
+  select doc_id, band, min(md5(concat(shingle, '#', band))) as sig
+  from banded group by doc_id, band
+),
+cand as (
+  select a.doc_id as id_a, b.doc_id as id_b
+  from sigs a join sigs b on a.band = b.band and a.sig = b.sig
+                         and a.doc_id < b.doc_id
+  group by 1, 2 having count(*) >= 2
+),
+sizes as (select doc_id, count(*) as sz from sh group by doc_id),
+inter as (
+  select c.id_a, c.id_b, count(*) as inter
+  from cand c
+  join sh a on a.doc_id = c.id_a
+  join sh b on b.doc_id = c.id_b and b.shingle = a.shingle
+  group by c.id_a, c.id_b
+),
+pairs as (
+  select i.id_a, i.id_b
+  from inter i
+  join sizes sa on sa.doc_id = i.id_a
+  join sizes sb on sb.doc_id = i.id_b
+  where i.inter / (sa.sz + sb.sz - i.inter) >= 0.5
+),
+sym as (select id_a as a, id_b as b from pairs where id_a != id_b
+        union select id_b as a, id_a as b from pairs where id_a != id_b),
+nodes as (select distinct a as id from sym),
+reach(id, r) as (
+  select id, id from nodes
+  union
+  select s.b, r.r from reach r join sym s on s.a = r.id
+),
+comp as (select id, min(r) as component from reach group by id),
+losers as (select id from comp where id != component)
+select doc_id from corpus where doc_id not in (select id from losers)
+"""
+
+
 def q39_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-bucketed kNN join over patch centroids (north rule: H3/S2 +
     kNN). Same bucketing replayed by the oracle; brute-force equivalence
@@ -1604,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_phash_near_dup": q48_phash_near_dup,
         "q49_dedup_components": q49_dedup_components,
         "q50_session_window": q50_session_window,
+        "q51_near_dedup_pipeline": q51_near_dedup_pipeline,
     }
 
 
@@ -1660,4 +1724,5 @@ def oracle_sql() -> dict[str, str]:
         "q48_phash_near_dup": Q48_SQL,
         "q49_dedup_components": Q49_SQL,
         "q50_session_window": Q50_SQL,
+        "q51_near_dedup_pipeline": Q51_SQL,
     }
