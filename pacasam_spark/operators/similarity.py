@@ -259,36 +259,62 @@ def lsh_table_buckets(
         ),
     )
 
-    def bucket_of(t: int) -> Column:
-        bucket = None
-        for p in range(n_planes):
-            bit = (
-                F.element_at(F.col("__dots"), t * n_planes + p + 1) >= 0
-            ).cast("int") * (1 << p)
-            bucket = bit if bucket is None else bucket + bit
-        return bucket
+    # The probe structs are built by LOOPED lambdas with the bucket value
+    # LET-BOUND per table (the one-element-array transform trick), so:
+    # (a) each table's bucket is computed exactly once per row — naive
+    #     per-struct expressions recompute it (or, worse, the whole dots
+    #     array after projection collapse: measured 3.5x slower), and
+    # (b) generated code stays loop-shaped and small — inlining the
+    #     bucket fold into each of the L*(r+1) explode structs produced a
+    #     ~12k-line generate_doConsume that janino REJECTS (method too
+    #     large) and the stage silently fell back to interpreted eval.
+    def bucket_of(t: Column) -> Column:
+        # MSB-first integer fold: acc*2 + bit  ==  sum(bit_p << p)
+        return F.aggregate(
+            F.sequence(F.lit(n_planes - 1), F.lit(0), F.lit(-1)),
+            F.lit(0),
+            lambda acc, p: acc * 2
+            + (F.element_at(F.col("__dots"), t * n_planes + p + 1) >= 0).cast(
+                "int"
+            ),
+        )
 
-    def probes(t: int) -> list[Column]:
-        b = bucket_of(t)
-        out = [F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))]
-        if multi_probe:
-            out += [
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    b.bitwiseXOR(F.lit(1 << i)).alias("bucket"),
+    if multi_probe:
+        # per table: [base, flip bit 0, ..., flip bit r-1]
+        def table_probes(t: Column) -> Column:
+            return F.flatten(
+                F.transform(
+                    F.array(bucket_of(t)),  # let-binds b = bucket(t)
+                    lambda b: F.transform(
+                        F.sequence(F.lit(-1), F.lit(n_planes - 1)),
+                        lambda i: F.struct(
+                            t.alias("tbl"),
+                            F.when(i < 0, b)
+                            .otherwise(
+                                b.bitwiseXOR(
+                                    F.pow(F.lit(2.0), i.cast("double")).cast("int")
+                                )
+                            )
+                            .alias("bucket"),
+                        ),
+                    ),
                 )
-                for i in range(n_planes)
-            ]
-        return out
+            )
 
+    else:
+        def table_probes(t: Column) -> Column:
+            return F.array(
+                F.struct(t.alias("tbl"), bucket_of(t).alias("bucket"))
+            )
+
+    probe_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)), table_probes
+        )
+    )
     return (
         df.withColumn("__dots", dots)
-        .select(
-            *keep_cols,
-            F.explode(
-                F.array(*[s for t in range(n_tables) for s in probes(t)])
-            ).alias("__tb"),
-        )
+        .select(*keep_cols, F.explode(probe_arr).alias("__tb"))
         .select(
             *keep_cols,
             F.col("__tb.tbl").alias("tbl"),
