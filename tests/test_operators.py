@@ -527,3 +527,51 @@ def test_near_dedup_documents_pipeline(spark):
     )
     # survivors: the 20 base docs only (copies + mutations clustered in)
     assert kept == [i for i in range(20)]
+
+
+def test_connected_components_hypothesis_property(spark):
+    """Property-based adversarial graphs (hypothesis): arbitrary edge
+    lists — self-loops, duplicates, stars, long chains, disconnected
+    blobs — always produce exactly the union-find components."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pacasam_spark.operators.components import connected_components
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 40)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(edges):
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            (r["id"], r["component"])
+            for r in connected_components(e, max_rounds=30).collect()
+        }
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a != b:
+                parent[find(a)] = find(b)
+        nodes = {n for ab in edges if ab[0] != ab[1] for n in ab}
+        comp: dict[int, list[int]] = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        expect = {(n, min(comp[find(n)])) for n in nodes}
+        assert got == expect
+
+    run()
