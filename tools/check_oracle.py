@@ -74,7 +74,14 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(cores=16)
+    # codegen.fallback=false: a janino compile failure (method > 64KB
+    # from an over-inlined expression) normally falls back to SLOW
+    # interpreted evaluation with only a stderr ERROR — here it must
+    # fail the gate loudly instead (caught a 12k-line generate method
+    # in the LSH probe stage that had been silently interpreted).
+    spark = get_spark(
+        cores=16, extra_conf={"spark.sql.codegen.fallback": "false"}
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
