@@ -608,20 +608,39 @@ group by 1, 2 having count(*) >= 2
 
 
 def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signatures from per-word md5 bits."""
-    from pacasam_spark.operators.dedup import simhash32
+    """64-bit SimHash signatures from per-word md5 bits (two bits per hex
+    digit; bit 63 enters as the two's-complement sign term)."""
+    from pacasam_spark.operators.dedup import simhash64
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash32(docs)
+    return simhash64(docs)
+
+
+_DDB_HEX_HIGH = "('8','9','a','b','c','d','e','f')"
+_DDB_HEX_BIT2 = "('4','5','6','7','c','d','e','f')"
+
+
+def _ddb_simhash_bits(n: int = 64) -> str:
+    """DuckDB twin of dedup._simhash64_sums: b_j aggregations over md5
+    hex — bit 2j from digit j's value-8 bit, bit 2j+1 from its value-4
+    bit."""
+    return ", ".join(
+        f"sum(case when substr(h, {j // 2 + 1}, 1) in "
+        f"{_DDB_HEX_HIGH if j % 2 == 0 else _DDB_HEX_BIT2} "
+        f"then 1 else -1 end) as b{j}"
+        for j in range(n)
+    )
+
+
+def _ddb_simhash_val() -> str:
+    """DuckDB twin of dedup._simhash64_expr (bit 63 as -(2^63))."""
+    val = " + ".join(
+        f"(case when b{j} > 0 then {1 << j} else 0 end)" for j in range(63)
+    )
+    return f"{val} + (case when b63 > 0 then (-9223372036854775807 - 1) else 0 end)"
 
 
 def _q23_sql() -> str:
-    hexes = "('8','9','a','b','c','d','e','f')"
-    bits = ", ".join(
-        f"sum(case when substr(h, {j + 1}, 1) in {hexes} then 1 else -1 end) as b{j}"
-        for j in range(32)
-    )
-    val = " + ".join(f"(case when b{j} > 0 then {1 << j} else 0 end)" for j in range(32))
     return f"""
 with tokens as (
   select distinct doc_id, t.w from
@@ -629,8 +648,8 @@ with tokens as (
     unnest(ws) as t(w)
 ),
 hashed as (select doc_id, md5(w) as h from tokens),
-bits as (select doc_id, {bits} from hashed group by doc_id)
-select doc_id, cast({val} as bigint) as simhash from bits
+bits as (select doc_id, {_ddb_simhash_bits()} from hashed group by doc_id)
+select doc_id, cast({_ddb_simhash_val()} as bigint) as simhash from bits
 """
 
 
@@ -1469,9 +1488,13 @@ def q50_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalyst-native session_window sessionization — the scale path
     for q30 (partial-merging hash agg, no per-user sort window; same
     expression streams under a watermark). Oracle: the lag-flag
-    sessionizer aggregated to (start, end, count); the testdata has no
-    exact-gap boundary events, so the two closure semantics coincide
-    (pre-checked: zero adjacent pairs at exactly 30 min)."""
+    sessionizer aggregated to (start, end, count) with the strict-gap
+    predicate ``ts > prev + gap`` — empirically the EXACT twin of
+    session_window, including for events landing precisely on the
+    boundary (Spark merges two sessions whose ranges touch: an event at
+    exactly last + gap extends the session). The boundary behavior is
+    pinned by tests/test_streaming.py::test_session_window_gap_boundary,
+    so the gate holds for any testdata regeneration."""
     from pacasam_spark.streaming.events import session_rollup
 
     return session_rollup(_t(spark, sf_dir, "events"))
@@ -1560,6 +1583,61 @@ comp as (select id, min(r) as component from reach group by id),
 losers as (select id from comp where id != component)
 select doc_id from corpus where doc_id not in (select id from losers)
 """
+
+
+def q52_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature, four 16-bit LSH bands
+    (pigeonhole recall at Hamming <= 3), degenerate-bucket cap, exact
+    bit_count(xor) filter — the scale-safe SimHash candidate path (the
+    32-bit/8-bit-band variant had a 256-value band vocabulary =>
+    quadratic candidates)."""
+    from pacasam_spark.operators.dedup import simhash_band_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = simhash_band_pairs(docs, max_distance=3)
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _q52_sql() -> str:
+    bands = ", ".join(
+        "("
+        + " + ".join(
+            f"(case when b{16 * k + i} > 0 then {1 << i} else 0 end)"
+            for i in range(16)
+        )
+        + f") as band{k}"
+        for k in range(4)
+    )
+    banded_union = " union all ".join(
+        f"select doc_id, simhash, {k} as band, band{k} as band_val from sims"
+        for k in range(4)
+    )
+    return f"""
+with tokens as (
+  select distinct doc_id, t.w from
+    (select doc_id, {_DDB_WORDS} as ws from documents where doc_id < 200),
+    unnest(ws) as t(w)
+),
+hashed as (select doc_id, md5(w) as h from tokens),
+bits as (select doc_id, {_ddb_simhash_bits()} from hashed group by doc_id),
+sims as (
+  select doc_id, cast({_ddb_simhash_val()} as bigint) as simhash, {bands}
+  from bits
+),
+banded as ({banded_union}),
+cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b,
+         a.simhash as sim_a, b.simhash as sim_b
+  from banded a
+  join banded b on a.band = b.band and a.band_val = b.band_val
+              and a.doc_id < b.doc_id
+)
+select id_a, id_b, cast(bit_count(xor(sim_a, sim_b)) as bigint) as hamming
+from cand where bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
+
+Q52_SQL = _q52_sql()
 
 
 def q39_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1668,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_dedup_components": q49_dedup_components,
         "q50_session_window": q50_session_window,
         "q51_near_dedup_pipeline": q51_near_dedup_pipeline,
+        "q52_simhash_pairs": q52_simhash_pairs,
     }
 
 
@@ -1725,4 +1804,5 @@ def oracle_sql() -> dict[str, str]:
         "q49_dedup_components": Q49_SQL,
         "q50_session_window": Q50_SQL,
         "q51_near_dedup_pipeline": Q51_SQL,
+        "q52_simhash_pairs": Q52_SQL,
     }

@@ -105,6 +105,33 @@ def main() -> None:
     timings["triple_sampler_pipeline"] = round(dt, 3)
     patches_per_sec = n_sampled / dt if dt > 0 else 0.0
 
+    # Same pipeline over the BUCKETED catalogue layout (the Iceberg-
+    # bucket-transform analogue, sources/bucketed.py): the file_id
+    # shuffle disappears from the chunk-rank stage. The one-time write
+    # is ingest cost and stays untimed; the A/B against
+    # triple_sampler_pipeline above is the headline layout evidence.
+    import shutil
+    import tempfile
+
+    from pacasam_spark.sources.bucketed import write_bucketed_catalogue
+
+    bdir = tempfile.mkdtemp(prefix="bench_bucketed_")
+    try:
+        bucketed = write_bucketed_catalogue(
+            db, "bench_bucketed_catalogue", f"{bdir}/catalogue"
+        )
+        db.unpersist()
+        spark.catalog.clearCache()  # no cached-plan donation between A/B
+        t0 = time.perf_counter()
+        n_b = TripleSampler(bucketed, cfg).get_patches().count()
+        dt_b = time.perf_counter() - t0
+        assert n_b == n_sampled, (n_b, n_sampled)
+        timings["triple_sampler_bucketed"] = round(dt_b, 3)
+        bucketed_speedup = dt / dt_b if dt_b > 0 else 0.0
+        spark.sql("DROP TABLE IF EXISTS bench_bucketed_catalogue")
+    finally:
+        shutil.rmtree(bdir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -120,6 +147,7 @@ def main() -> None:
                     "sampling_target": target,
                     "n_sampled": n_sampled,
                     "cpus": cpus,
+                    "bucketed_layout_speedup": round(bucketed_speedup, 3),
                 },
             }
         )

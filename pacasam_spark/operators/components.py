@@ -65,19 +65,33 @@ def connected_components(
     dst: str = "id_b",
     max_rounds: int = 50,
 ) -> DataFrame:
-    """(id, component) for every node in ``pairs``; component is the min
-    reachable id. Alternates large-star/small-star until the edge set is
-    a fixed point (checked by count + order-independent checksum — two
-    scalars per round, no driver-side data)."""
+    """(id, component) for every node in ``pairs`` — including nodes
+    that only ever appear in self-pairs (u = v), which form singleton
+    components; component is the min reachable id. Alternates
+    large-star/small-star until the edge set is a fixed point (checked
+    by count + order-independent checksum — two scalars per round, no
+    driver-side data).
+
+    The result is materialized (eager localCheckpoint) before returning:
+    the iterative chain is never recomputed on reuse, and every
+    intermediate persist/checkpoint block is released here — nothing
+    leaks into long-lived sessions running many dedup batches (the
+    result's own blocks are reclaimed by the ContextCleaner when the
+    caller drops the DataFrame)."""
+    # the upstream pairs plan (often a full LSH candidate pipeline) is
+    # read twice — once for edges, once for nodes — so pin it rather
+    # than recompute it
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .persist()
     )
+    # from RAW pairs, before the self-loop filter: ids appearing only as
+    # (x, x) still get an output row (their own singleton component)
     nodes = (
-        edges.select(F.col("u").alias("id"))
-        .unionByName(edges.select(F.col("v").alias("id")))
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
         .persist()
     )
@@ -122,7 +136,15 @@ def connected_components(
     out = (
         nodes.join(assign, "id", "left")
         .select("id", F.coalesce("component", "id").alias("component"))
+        .localCheckpoint(eager=True)
     )
+    # release the blocks the iteration pinned: the loop unpersists each
+    # round's predecessor, so only `nodes` (and, if the loop never ran,
+    # the initial `edges`) are still cached; checkpointed rounds are
+    # RDD blocks the ContextCleaner reclaims once unreferenced
+    edges.unpersist()
+    nodes.unpersist()
+    raw.unpersist()
     return out
 
 

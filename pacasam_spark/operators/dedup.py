@@ -8,9 +8,10 @@ Scale design:
   cartesian; verification is restricted to candidates.
 - Jaccard: exact pairwise via shingle equi-join — use ONLY downstream of
   LSH candidates at scale (provided standalone for the oracle gate).
-- SimHash: 32-bit signature from per-word md5 bits; near-dup candidates
-  join on 8-bit bands (4 sub-bands => Hamming distance <= 3 guaranteed
-  recall by pigeonhole).
+- SimHash: 64-bit signature from per-word md5 bits; near-dup candidates
+  join on 16-bit bands (4 sub-bands => Hamming distance <= 3 guaranteed
+  recall by pigeonhole), capped per bucket, then exact-filtered on the
+  true Hamming distance.
 
 Everything is md5-based, so the DuckDB oracle reproduces signatures
 byte-for-byte (md5 hex is identical across engines).
@@ -182,6 +183,11 @@ def hamming_near_dup_pairs(
     hashes band correctly; oracle twins on signed engines should keep
     fingerprints in [0, 2^62) (the synthetic phash does).
     """
+    if not 0 <= max_distance < bits:
+        raise ValueError(
+            f"max_distance must be in [0, {bits}) for a {bits}-bit hash, "
+            f"got {max_distance} (>= bits would need more bands than bits)"
+        )
     if n_bands is None:
         # smallest divisor of `bits` with n_bands >= max_distance + 1
         # (pigeonhole needs one more band than flipped bits)
@@ -234,6 +240,8 @@ def hamming_near_dup_pairs(
 
 
 _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+# hex digits with bit 2 (value 4) set: 4..7 and c..f
+_HEX_BIT2 = ("4", "5", "6", "7", "c", "d", "e", "f")
 
 
 def simhash32(
@@ -259,25 +267,119 @@ def simhash32(
     return sums.select(id_col, sim.cast("long").alias("simhash"))
 
 
-def simhash_band_pairs(
+def _simhash64_sums(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc ±1 bit sums for a 64-bit SimHash: two bits per md5 hex
+    digit — bit 2j from digit j's high bit (value 8), bit 2j+1 from its
+    bit 2 (value 4). md5 hex is engine-identical, so the DuckDB oracle
+    reproduces every sum byte-for-byte."""
+    tokens = (
+        df.select(id_col, F.explode(words_col(F.col(text_col))).alias("w"))
+        .distinct()
+        .withColumn("h", F.md5("w"))
+    )
+    aggs = []
+    for j in range(64):
+        digit = F.substring("h", j // 2 + 1, 1)
+        bit = digit.isin(*(_HEX_HIGH if j % 2 == 0 else _HEX_BIT2))
+        aggs.append(F.sum(F.when(bit, 1).otherwise(-1)).alias(f"b{j}"))
+    return tokens.groupBy(id_col).agg(*aggs)
+
+
+def _simhash64_expr():
+    """Signed int64 signature expression over the b0..b63 sign-sum
+    columns. Bit 63 is the two's-complement sign bit, added as -(2^63)
+    so the running sum never leaves the int64 range (ANSI mode raises on
+    overflow; 1 << 63 alone would)."""
+    sim = None
+    for j in range(63):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sim.cast("long") + F.when(
+        F.col("b63") > 0, F.lit(-(1 << 63))
+    ).otherwise(F.lit(0))
+
+
+def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """SimHash near-dup candidates: docs sharing any of the four 8-bit
-    bands of the 32-bit signature (pigeonhole: catches all pairs with
-    Hamming distance <= 3)."""
-    sh = simhash32(df, text_col, id_col)
-    banded = sh.select(
-        id_col,
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-    ).withColumn(
-        "band_val", F.pmod((F.col("simhash") / F.pow(F.lit(2), F.col("band") * 8)).cast("long"), F.lit(256))
+    """64-bit SimHash per doc (two bits per md5 hex digit). The 32-bit
+    variant's four 8-bit bands have a 256-value vocabulary — Θ(N²/256)
+    candidate pairs, quadratic; 64 bits give four 16-bit bands (65,536
+    values each), the band width real web-dedup SimHash deployments use
+    (Manku et al., WWW'07 use 64-bit signatures for the same reason)."""
+    return _simhash64_sums(df, text_col, id_col).select(
+        id_col, _simhash64_expr().alias("simhash")
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_val")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_val")
-    return (
+
+
+def simhash_band_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    max_bucket_size: int = 10000,
+    return_dropped: bool = False,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share one of the four 16-bit
+    bands of the 64-bit signature (pigeonhole guarantees every pair with
+    Hamming distance <= 3 collides on a whole band), then candidates are
+    exact-filtered on ``bit_count(xor) <= max_distance`` — every emitted
+    row is a TRUE near-dup, same contract as
+    :func:`hamming_near_dup_pairs`. Output: (id_a, id_b, hamming).
+
+    Band values are rebuilt from the per-bit sign sums (no signed-shift
+    extraction, so the DuckDB oracle needs no unsigned casts), and
+    buckets above ``max_bucket_size`` are dropped before the self-join —
+    the same degenerate-bucket guard as every other candidate generator
+    here (boilerplate corpora collapse onto a few signatures; without
+    the cap one hot band value is a quadratic hotspot in one task).
+    ``return_dropped=True`` surfaces the guarded (band, band_val, count)
+    buckets so truncation is visible."""
+    if not 0 <= max_distance <= 3:
+        raise ValueError(
+            "pigeonhole recall over 4 bands holds only for max_distance <= 3, "
+            f"got {max_distance}; use hamming_near_dup_pairs(n_bands=...) "
+            "for larger radii"
+        )
+    sums = _simhash64_sums(df, text_col, id_col)
+    band_vals = [
+        sum(
+            F.when(F.col(f"b{16 * k + i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(16)
+        )
+        for k in range(4)
+    ]
+    banded = sums.select(
+        id_col,
+        _simhash64_expr().alias("simhash"),
+        F.posexplode(F.array(*band_vals)).alias("band", "band_val"),
+    )
+    bucket_sizes = banded.groupBy("band", "band_val").count()
+    bounded = banded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).select(
+            "band", "band_val"
+        ),
+        on=["band", "band_val"],
+        how="left_semi",
+    )
+    a = bounded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_val"
+    )
+    b = bounded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "band_val"
+    )
+    pairs = (
         a.join(b, on=["band", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "band")
-        .distinct()
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()  # a pair can agree on several bands
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
     )
+    if return_dropped:
+        dropped = bucket_sizes.filter(F.col("count") > max_bucket_size)
+        return pairs, dropped
+    return pairs

@@ -269,13 +269,16 @@ def lsh_table_buckets(
     #     ~12k-line generate_doConsume that janino REJECTS (method too
     #     large) and the stage silently fell back to interpreted eval.
     def bucket_of(t: Column) -> Column:
-        # MSB-first integer fold: acc*2 + bit  ==  sum(bit_p << p)
+        # MSB-first integer fold: acc*2 + bit  ==  sum(bit_p << p).
+        # The accumulator is a LONG: an int fold overflows (ANSI raises)
+        # once n_planes reaches 32, and auto-derived plane counts grow
+        # with corpus size.
         return F.aggregate(
             F.sequence(F.lit(n_planes - 1), F.lit(0), F.lit(-1)),
-            F.lit(0),
+            F.lit(0).cast("long"),
             lambda acc, p: acc * 2
             + (F.element_at(F.col("__dots"), t * n_planes + p + 1) >= 0).cast(
-                "int"
+                "long"
             ),
         )
 
@@ -292,7 +295,7 @@ def lsh_table_buckets(
                             F.when(i < 0, b)
                             .otherwise(
                                 b.bitwiseXOR(
-                                    F.pow(F.lit(2.0), i.cast("double")).cast("int")
+                                    F.pow(F.lit(2.0), i.cast("double")).cast("long")
                                 )
                             )
                             .alias("bucket"),
@@ -334,6 +337,7 @@ def lsh_cosine_pairs_above(
     max_bucket_size: int = 10000,
     target_bucket_size: int = 1024,
     return_dropped: bool = False,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: candidates share a (table,
     bucket) — the LSH replacement for :func:`cosine_pairs_above`'s exact
@@ -344,11 +348,16 @@ def lsh_cosine_pairs_above(
     Candidate volume is quadratic PER BUCKET (a bucket of m vectors emits
     m^2/2 join rows), so bounding it needs both knobs this function has:
 
-    - ``n_planes="auto"`` derives r = ceil(log2(N / target_bucket_size))
-      from one count, so the expected bucket occupancy N/2^r stays near
+    - ``n_planes="auto"`` derives r = ceil(log2(N / target_bucket_size)),
+      so the expected bucket occupancy N/2^r stays near
       ``target_bucket_size`` at ANY corpus size (r grows with the data —
       a fixed small r degenerates to ~L*N^2/2^{r+1} candidates, worse
-      than the exact join it replaces).
+      than the exact join it replaces). N comes from ``corpus_count``
+      when the caller already knows it (skipping a full count job over a
+      possibly-uncached plan), else from one ``emb.count()``. r is
+      capped at 62 — the bucket id is a signed-long bit fold, and
+      2^62 buckets is already far beyond any real corpus (10^12 rows /
+      target 1 ⇒ r = 40).
     - ``max_bucket_size`` drops over-full buckets BEFORE the self-join
       (same guard as dedup.lsh_near_dup_pairs): boilerplate/duplicate-
       heavy corpora hash huge clusters into one bucket regardless of r.
@@ -368,8 +377,10 @@ def lsh_cosine_pairs_above(
     if n_planes == "auto":
         import math
 
-        n = emb.count()
-        n_planes = max(1, math.ceil(math.log2(max(2.0, n / target_bucket_size))))
+        n = corpus_count if corpus_count is not None else emb.count()
+        n_planes = min(
+            62, max(1, math.ceil(math.log2(max(2.0, n / target_bucket_size))))
+        )
     tb = lsh_table_buckets(emb, n_planes, n_tables, dim, [id_col, vec_col], vec_col)
     bucket_sizes = tb.groupBy("tbl", "bucket").count()
     bounded = tb.join(

@@ -18,10 +18,16 @@ Semantics preserved:
 - `test` flag: exactly floor(0.2*n) rows true, rest NULL (NaN=>train
   semantics, reference: synthetic.py:84-89, connectors/lipac.py:126-136)
 
-Scale note: exact-count descriptor assignment uses a global window rank —
-fine for test-fixture generation; at 10^12 rows switch to the threshold
-approximation ``det_uniform(id, seed) < p`` (prevalence exact in
-expectation, no global sort). Both paths are provided.
+Scale note: exact-count descriptor assignment is a BUCKET-DECOMPOSED rank
+(no global window): global_rank(h) = cum_count(buckets below h's bucket)
++ rank_within_bucket(h), where the bucket is the hash's high 15 bits.
+The per-bucket cumulative counts come from a 32k-row histogram (its
+cumulative window is unpartitioned but TINY — same documented shape as
+sampling._hash_threshold_trim), broadcast back; the within-bucket rank is
+a window PARTITIONED by bucket — ~N/32768 rows per partition, fully
+distributed at any N. The threshold approximation
+``det_uniform(id, seed) < p`` (exact in expectation, zero extra shuffles)
+remains as exact_counts=False for the biggest fixtures.
 """
 
 from __future__ import annotations
@@ -38,6 +44,36 @@ DEFAULT_PREVALENCES = {"C0": 0.005, "C1": 0.2, "C2": 0.2, "C3": 0.7}
 NB_MAX = 60000
 TEST_FRAC = 0.2
 
+_HASH_BUCKET = 1 << 16  # det_hash range [0, 2^31) -> 32768 buckets
+
+
+def _exact_topk_flag(df: DataFrame, base: DataFrame, name: str, h, k: int) -> DataFrame:
+    """``name`` = True for the k rows ranked lowest by (h, patch_id) —
+    identical to a global ``row_number() <= k`` but with NO global
+    window: the global rank decomposes into the cumulative count of
+    lower hash-buckets (32k-row broadcast histogram) plus the rank
+    inside the row's own bucket (window partitioned by bucket).
+
+    The histogram is built from ``base`` (the bare id range), NOT from
+    the accumulated ``df``: the hash is a pure function of patch_id, and
+    deriving each histogram from the growing flag chain would make every
+    later histogram recompute the whole prefix of joins and windows."""
+    b = (h / _HASH_BUCKET).cast("long")
+    hist = base.select(b.alias("__b")).groupBy("__b").count()
+    # unpartitioned cumulative over <= 32768 histogram rows — documented
+    # tiny-table exception (same as sampling._hash_threshold_trim)
+    wc = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "__b", F.coalesce(F.sum("count").over(wc), F.lit(0)).alias("__cum")
+    )
+    wr = Window.partitionBy("__b").orderBy(h, F.col(S.PATCH_ID))
+    return (
+        df.withColumn("__b", b)
+        .join(F.broadcast(cum), "__b")
+        .withColumn(name, (F.col("__cum") + F.row_number().over(wr)) <= k)
+        .drop("__b", "__cum")
+    )
+
 
 def synthetic_catalogue(
     spark: SparkSession,
@@ -52,7 +88,8 @@ def synthetic_catalogue(
         prevalences = DEFAULT_PREVALENCES
     g = math.ceil(math.sqrt(db_size))
 
-    df = spark.range(db_size).withColumnRenamed("id", S.PATCH_ID)
+    base = spark.range(db_size).withColumnRenamed("id", S.PATCH_ID)
+    df = base
     pid = F.col(S.PATCH_ID)
     x = (pid / g).cast("long") * S.PATCH_SIZE_M
     y = F.pmod(pid, F.lit(g)) * S.PATCH_SIZE_M
@@ -76,8 +113,7 @@ def synthetic_catalogue(
         k = math.ceil(p * db_size)
         col_seed = seed * 1000 + i
         if exact_counts:
-            w = Window.orderBy(det_hash(pid, col_seed), pid)
-            df = df.withColumn(name, F.row_number().over(w) <= k)
+            df = _exact_topk_flag(df, base, name, det_hash(pid, col_seed), k)
         else:
             df = df.withColumn(name, det_uniform(pid, col_seed) < p)
 
@@ -86,12 +122,14 @@ def synthetic_catalogue(
 
     n_test = int(TEST_FRAC * db_size)
     if exact_counts:
-        w = Window.orderBy(det_hash(pid, seed * 3000), pid)
-        is_test = F.row_number().over(w) <= n_test
+        df = _exact_topk_flag(
+            df, base, "__is_test", det_hash(pid, seed * 3000), n_test
+        )
+        is_test = F.col("__is_test")
     else:
         is_test = det_uniform(pid, seed * 3000) < TEST_FRAC
     df = df.withColumn(S.TEST_FLAG, F.when(is_test, F.lit(True)))  # else NULL
-    return df
+    return df.drop("__is_test")
 
 
 def synthetic_catalogue_sql(db_size: int = 10000, seed: int = 42) -> str:

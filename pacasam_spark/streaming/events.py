@@ -51,10 +51,12 @@ def session_rollup(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     (sessions merge map-side within partitions before the user_id
     shuffle), no per-user sort window, and the SAME expression runs under
     ``readStream`` with a watermark for the unbounded case. Returns
-    (user_id, session_start, session_end, n_events); on gap-boundary-free
-    data it agrees exactly with the cumulative-flag sessionizer (q30),
-    differing only for events at EXACTLY ``gap`` apart (window is
-    half-open, the lag-flag form closes at >)."""
+    (user_id, session_start, session_end, n_events). Boundary closure:
+    session_window MERGES windows whose ranges touch, so an event
+    landing EXACTLY ``gap`` after its predecessor extends the session —
+    identical to a lag-flag sessionizer with the strict predicate
+    ``ts > prev + gap`` (what the q30/q45/q50 oracles use). Pinned by
+    tests/test_streaming.py::test_session_window_gap_boundary."""
     return (
         events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(F.count("*").alias("n_events"))
@@ -74,12 +76,16 @@ def session_rollup_stream(
     watermark: str = "0 seconds",
 ) -> DataFrame:
     """``session_rollup`` under ``readStream`` + watermark, append mode —
-    the production-stream shape (late data beyond ``watermark`` is
-    dropped, finalized sessions emit exactly once). On a bounded file
-    source the output is every session whose end precedes the final
-    watermark; sessions still open within ``gap`` of the last observed
-    event stay pending (the streaming-vs-batch delta is exactly those
-    tail sessions)."""
+    the production-stream shape. Late-data semantics (pinned by
+    tests/test_streaming.py::test_session_rollup_stream_late_data_cannot_mutate_emitted):
+    finalized sessions emit exactly once and are IMMUTABLE — a late
+    event whose session was already evicted is dropped by the state
+    operator; a late event whose session is still open in state may
+    legitimately merge (Spark documents row-level late dropping as
+    best-effort, not guaranteed). On a bounded file source the output is
+    every session whose end precedes the final watermark; sessions still
+    open within ``gap`` of the last observed event stay pending (the
+    streaming-vs-batch delta is exactly those tail sessions)."""
     name = f"session_rollup_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)

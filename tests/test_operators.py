@@ -567,7 +567,9 @@ def test_connected_components_hypothesis_property(spark):
         for a, b in edges:
             if a != b:
                 parent[find(a)] = find(b)
-        nodes = {n for ab in edges if ab[0] != ab[1] for n in ab}
+        # contract: EVERY id in the pair table gets a row — ids that only
+        # appear in self-pairs are their own singleton component
+        nodes = {n for ab in edges for n in ab}
         comp: dict[int, list[int]] = {}
         for n in nodes:
             comp.setdefault(find(n), []).append(n)
@@ -575,3 +577,123 @@ def test_connected_components_hypothesis_property(spark):
         assert got == expect
 
     run()
+
+
+def test_simhash_band_pairs_match_brute_force(spark):
+    """64-bit SimHash banded pairs == brute-force bit_count(xor) <= 3
+    over the signatures (pigeonhole recall over four 16-bit bands,
+    exact Hamming filter => precision 1), and the banded candidate
+    volume stays far below the all-pairs join it replaces."""
+    from pacasam_spark.operators.dedup import simhash64, simhash_band_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 300)
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    ids = sorted(sigs)
+    brute = sorted(
+        (a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_band_pairs(docs).collect()
+    )
+    assert got == brute and len(got) > 0
+
+    # candidate bound (the round-3 verdict's defect in the 32-bit/8-bit
+    # variant: 256-value bands made candidates ~N^2/64): count banded
+    # collisions independently in python
+    def bands(s):
+        u = s & ((1 << 64) - 1)
+        return [(k, (u >> (16 * k)) & 0xFFFF) for k in range(4)]
+
+    from collections import Counter
+
+    buckets = Counter(bv for s in sigs.values() for bv in bands(s))
+    candidates = sum(m * (m - 1) // 2 for m in buckets.values())
+    all_pairs = len(ids) * (len(ids) - 1) // 2
+    assert candidates < all_pairs / 2
+
+
+def test_simhash_bucket_guard_surfaces_dropped(spark):
+    """Identical docs collapse onto one signature; the degenerate-bucket
+    cap drops the hot band buckets and surfaces them."""
+    from pacasam_spark.operators.dedup import simhash_band_pairs
+
+    df = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(50)],
+        "doc_id long, text string",
+    )
+    pairs, dropped = simhash_band_pairs(
+        df, max_bucket_size=10, return_dropped=True
+    )
+    assert pairs.count() == 0
+    assert dropped.count() == 4  # all four bands guarded
+    full = simhash_band_pairs(df)
+    assert full.count() == 50 * 49 // 2  # distance 0 without the cap
+
+
+def test_simhash_and_hamming_distance_validation(spark):
+    from pacasam_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+        simhash_band_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_band_pairs(df, max_distance=4)
+    hdf = spark.createDataFrame([(1, 42)], "image_id long, phash long")
+    with pytest.raises(ValueError, match="max_distance"):
+        hamming_near_dup_pairs(hdf, max_distance=64)
+    with pytest.raises(ValueError, match="max_distance"):
+        hamming_near_dup_pairs(hdf, max_distance=-1)
+
+
+def test_connected_components_self_loop_only_nodes(spark):
+    """Ids appearing ONLY as (x, x) self-pairs still get an output row
+    (their own singleton component)."""
+    from pacasam_spark.operators.components import connected_components
+
+    e = spark.createDataFrame(
+        [(7, 7), (2, 3), (3, 9)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id"], r["component"]) for r in connected_components(e).collect()
+    }
+    assert got == {(7, 7), (2, 2), (3, 2), (9, 2)}
+
+
+def test_connected_components_releases_every_persist(spark, monkeypatch):
+    """Every DataFrame the iteration persists is unpersisted before the
+    (eagerly materialized) result returns — long-lived sessions running
+    many dedup batches must not accumulate executor storage."""
+    # patch the concrete class — pyspark 4's pyspark.sql.DataFrame is an
+    # abstract facade; instances resolve persist() on classic.DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from pacasam_spark.operators.components import connected_components
+
+    persisted, unpersisted = [], []
+    orig_persist, orig_unpersist = DataFrame.persist, DataFrame.unpersist
+
+    def spy_persist(self, *a, **k):
+        persisted.append(id(self))
+        return orig_persist(self, *a, **k)
+
+    def spy_unpersist(self, *a, **k):
+        unpersisted.append(id(self))
+        return orig_unpersist(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", spy_persist)
+    monkeypatch.setattr(DataFrame, "unpersist", spy_unpersist)
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "id_a long, id_b long"
+    )
+    out = connected_components(e)
+    assert out.count() == 40
+    assert set(persisted) <= set(unpersisted)
+    assert len(persisted) >= 3  # raw, edges, nodes all pinned during the run

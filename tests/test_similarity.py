@@ -202,3 +202,39 @@ def test_lsh_pairs_auto_planes_scale_with_corpus(spark):
     # pairs (more collisions)
     n4, n2 = p4.count(), p2.count()
     assert n2 >= n4 > 0
+
+
+def test_lsh_bucket_fold_is_long_beyond_31_planes(spark):
+    """The bucket id is a signed-LONG bit fold: auto-derived plane
+    counts grow with corpus size, and an int fold overflows (ANSI mode
+    raises) at n_planes >= 32. 40 planes must produce distinct long
+    buckets without error."""
+    from pacasam_spark.operators.similarity import lsh_table_buckets
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 13) % 19 - 9) for j in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    out = lsh_table_buckets(df, n_planes=40, n_tables=1, dim=8,
+                            keep_cols=["vec_id"], vec_col="embedding")
+    rows = out.collect()
+    assert out.schema["bucket"].dataType.simpleString() == "bigint"
+    assert len(rows) == 6
+    assert all(0 <= r["bucket"] < (1 << 40) for r in rows)
+
+
+def test_lsh_pairs_corpus_count_and_plane_cap(spark):
+    """corpus_count skips the internal count job and n_planes='auto' is
+    capped at 62 (the long-fold bound) even for absurd corpus sizes."""
+    from pacasam_spark.operators.similarity import lsh_cosine_pairs_above
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 13) % 19 - 9) for j in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    out = lsh_cosine_pairs_above(
+        df, threshold=0.99, n_planes="auto", n_tables=1, dim=8,
+        corpus_count=10**13, target_bucket_size=1,
+    )
+    # derived r = min(62, ceil(log2(1e13))) = 44 -> runs, returns pairs
+    assert out.count() >= 0

@@ -93,3 +93,110 @@ def test_session_rollup_stream_append_matches_batch(spark, tmp_path):
     )
     assert got == expected
     assert len(got) == 3  # u1: [0,10], [90]; u2: [0]
+
+
+def test_session_window_gap_boundary(spark):
+    """Closure semantics at EXACTLY the gap: session_window MERGES
+    windows whose ranges touch, so an event landing precisely gap after
+    its predecessor EXTENDS the session (verified empirically — the
+    naive 'half-open [start, last+gap)' reading predicts a split and is
+    wrong). The strict-gap lag-flag twin (ts > prev + gap) therefore
+    coincides with session_window on ALL data, boundary events
+    included — the q50 oracle gate can never flip on a testdata
+    regeneration."""
+    import datetime as dt
+
+    from pacasam_spark.streaming.events import session_rollup
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30)),   # exactly gap -> merges
+        (1, t0 + dt.timedelta(minutes=75)),   # 45 min -> new session
+        (2, t0),
+        (2, t0 + dt.timedelta(minutes=29, seconds=59)),  # inside gap
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_rollup(events, gap="30 minutes").collect()
+    )
+    assert got == [
+        (1, t0, 2),                            # boundary event merged in
+        (1, t0 + dt.timedelta(minutes=75), 1),
+        (2, t0, 2),
+    ]
+    # the strict-gap lag-flag sessionizer agrees row-for-row
+    lagged = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql(
+            """
+            with g as (
+              select user_id, ts,
+                     case when lag(ts) over w is null
+                            or ts > lag(ts) over w + interval 30 minute
+                          then 1 else 0 end as new_sess
+              from {events}
+              window w as (partition by user_id order by ts)
+            ),
+            s as (
+              select user_id, ts,
+                     sum(new_sess) over (partition by user_id order by ts
+                                         rows unbounded preceding) as seq
+              from g
+            )
+            select user_id, min(ts) as session_start, count(*) as n_events
+            from s group by user_id, seq
+            """,
+            events=events,
+        ).collect()
+    )
+    assert lagged == got
+
+
+def test_session_rollup_stream_late_data_cannot_mutate_emitted(spark, tmp_path):
+    """The late-data guarantee append mode ACTUALLY gives (verified
+    empirically; Spark documents watermark dropping as best-effort): a
+    late event arriving after its session was finalized and emitted is
+    DROPPED by the session-window state operator — finalized results are
+    immutable, no duplicate or contradictory emission. (A late event
+    whose session is still open in state may legitimately merge; the
+    guarantee is about emitted results, not about every late row.)"""
+    from pacasam_spark.streaming.events import session_rollup_stream
+
+    def _utime_tree(path, t):
+        # the file source orders batches by the PART-file mtimes, not the
+        # directory's — stamp everything underneath
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(path, (t, t))
+
+    d = str(tmp_path / "ev_late")
+    os.makedirs(d)
+    # batch A: u1 at t=0,10min (session [0,40)); u2 at t=50
+    _write_events(
+        spark, f"{d}/events_a.parquet", [(1, 0), (1, 10), (2, 50)]
+    )
+    _utime_tree(f"{d}/events_a.parquet", 1_000_000)
+    # batch B advances the watermark past u1's session end (t=40) ->
+    # u1's [0,40) n=2 is finalized, emitted, and evicted from state
+    _write_events(spark, f"{d}/events_b.parquet", [(2, 100000)])
+    _utime_tree(f"{d}/events_b.parquet", 2_000_000)
+    # batch C: u1 at t=20 — late, and its session was already emitted
+    _write_events(spark, f"{d}/events_c.parquet", [(1, 20)])
+    _utime_tree(f"{d}/events_c.parquet", 3_000_000)
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_rollup_stream(
+            spark, f"{d}/*.parquet", watermark="0 seconds"
+        ).collect()
+    )
+    # u1 emitted exactly once with 2 events (the late row dropped, NOT
+    # re-emitted as an overlapping [20,50) singleton); u2's sessions:
+    # [50,80) finalized, the t=100000 one still pending -> absent
+    assert got == [
+        (1, T0, 2),
+        (2, T0 + dt.timedelta(minutes=50), 1),
+    ]

@@ -139,6 +139,17 @@ def main() -> int:
         "TakeOrderedAndProject(limit=150000" not in p,
     )
 
+    # synthetic exact_counts: NO global window over the row stream — every
+    # row_number window must be partitioned by the hash bucket (__b); the
+    # only unpartitioned windows are the 32k-row histogram cumulatives
+    p = plan_of(synthetic_catalogue(spark, db_size=100000, exact_counts=True))
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", p)
+    ok &= check(
+        "synthetic exact-counts bucketed rank",
+        len(rn_specs) == 5 and all("__b" in s for s in rn_specs),
+        f"{len(rn_specs)} row_number windows",
+    )
+
     print("\nALL PASS" if ok else "\nSOME CHECKS FAILED")
     return 0 if ok else 1
 
