@@ -1640,6 +1640,69 @@ from cand where bit_count(xor(sim_a, sim_b)) <= 3
 Q52_SQL = _q52_sql()
 
 
+Q53_K, Q53_ITERS, Q53_SEED = 8, 2, 7
+
+
+def q53_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment under a k-means-refined codebook: 2 Lloyd
+    rounds from the deterministic seed draw, exact decimal means (so the
+    centroids — and every assignment — are bit-identical at any
+    parallelism and in the oracle's replay of the same two rounds)."""
+    from pacasam_spark.operators.kmeans import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(
+        emb, k=Q53_K, n_iters=Q53_ITERS, seed=Q53_SEED
+    ).select("vec_id", "cell")
+
+
+def _q53_sql() -> str:
+    from pacasam_spark.operators.hashing import det_hash_sql
+
+    def cos(vec, cent):
+        return (
+            f"{_DOT.format(a=vec, b=cent)}"
+            f" / ({_NORM.format(a=vec)} * {_NORM.format(a=cent)})"
+        )
+
+    def assign(cent_cte, out):
+        return f"""
+{out}_r as (
+  select vec_id, embedding, c_id as cell,
+         row_number() over (partition by vec_id
+                            order by {cos('embedding', 'c_vec')} desc, c_id) as rn
+  from e cross join {cent_cte}
+),
+{out} as (select vec_id, embedding, cell from {out}_r where rn = 1)"""
+
+    def update(assign_cte, prev_cent, out):
+        return f"""
+{out}_m as (
+  select cell, x.d,
+         cast(sum(cast(cast(embedding[x.d] as double) as decimal(38,6))) as double)
+           / count(*) as m
+  from {assign_cte}, unnest(range(1, len(embedding) + 1)) as x(d)
+  group by cell, x.d
+),
+{out}_v as (select cell as c_id, list(m order by d) as c_vec from {out}_m group by cell),
+{out} as (
+  select p.c_id, coalesce(v.c_vec, cast(p.c_vec as double[])) as c_vec
+  from {prev_cent} p left join {out}_v v using (c_id)
+)"""
+
+    return f"""
+with e as (select vec_id, embedding from embeddings),
+c0 as (
+  select vec_id as c_id, cast(embedding as double[]) as c_vec from embeddings
+  order by {det_hash_sql('vec_id', Q53_SEED)}, vec_id limit {Q53_K}
+),{assign('c0', 'a0')},{update('a0', 'c0', 'c1')},{assign('c1', 'a1')},{update('a1', 'c1', 'c2')},{assign('c2', 'a2')}
+select vec_id, cell from a2
+"""
+
+
+Q53_SQL = _q53_sql()
+
+
 def q39_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-bucketed kNN join over patch centroids (north rule: H3/S2 +
     kNN). Same bucketing replayed by the oracle; brute-force equivalence
@@ -1747,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_session_window": q50_session_window,
         "q51_near_dedup_pipeline": q51_near_dedup_pipeline,
         "q52_simhash_pairs": q52_simhash_pairs,
+        "q53_kmeans_cells": q53_kmeans_cells,
     }
 
 
@@ -1805,4 +1869,5 @@ def oracle_sql() -> dict[str, str]:
         "q50_session_window": Q50_SQL,
         "q51_near_dedup_pipeline": Q51_SQL,
         "q52_simhash_pairs": Q52_SQL,
+        "q53_kmeans_cells": Q53_SQL,
     }

@@ -142,13 +142,25 @@ def ivf_cosine_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN top-k: vectors meet their queries in a cell equi-join
     (each query probes its ``nprobe`` highest-cosine centroids), exact
     re-rank inside. With nprobe = n_centroids this is EXACTLY the brute
     force result (every cell probed) — the property the pytest gate uses.
-    100 TB shape: centroid table broadcast, one shuffle on cell id."""
-    cent = ivf_centroids(emb, n_centroids, seed, id_col, vec_col)
+    100 TB shape: centroid table broadcast, one shuffle on cell id.
+
+    ``refine_iters > 0`` runs that many Lloyd rounds over the seed draw
+    (operators/kmeans.py) before building the index — the FAISS-style
+    coarse-quantizer training that tightens cells and evens their sizes;
+    the exhaustive-probe == brute-force identity holds for ANY codebook,
+    so the correctness gate is codebook-independent."""
+    if refine_iters > 0:
+        from pacasam_spark.operators.kmeans import kmeans_fit
+
+        cent = kmeans_fit(emb, n_centroids, refine_iters, seed, id_col, vec_col)
+    else:
+        cent = ivf_centroids(emb, n_centroids, seed, id_col, vec_col)
     data_cells = ivf_assign(emb, cent, id_col, vec_col)
 
     qcos = _dot(F.col("q_vec"), F.col("c_vec")) / (

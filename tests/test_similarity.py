@@ -238,3 +238,92 @@ def test_lsh_pairs_corpus_count_and_plane_cap(spark):
     )
     # derived r = min(62, ceil(log2(1e13))) = 44 -> runs, returns pairs
     assert out.count() >= 0
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    """Exact decimal means + argmax-with-tiebreak => identical cells at
+    any input partitioning."""
+    from pacasam_spark.operators.kmeans import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in kmeans_assign(emb.repartition(1), k=6, n_iters=2).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in kmeans_assign(emb.repartition(13), k=6, n_iters=2).collect()
+    )
+    assert a == b and len(a) == emb.count()
+
+
+def test_kmeans_refinement_improves_objective(spark):
+    """Lloyd rounds cannot worsen the spherical k-means objective: mean
+    max-cosine-to-centroid after 3 rounds >= after 0 rounds."""
+    from pyspark.sql import functions as F
+
+    from pacasam_spark.operators.kmeans import kmeans_fit
+    from pacasam_spark.operators.similarity import (
+        _dot,
+        _norm,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def objective(cent):
+        cos = _dot(F.col("embedding"), F.col("c_vec")) / (
+            _norm(F.col("embedding")) * _norm(F.col("c_vec"))
+        )
+        j = emb.join(F.broadcast(cent)).withColumn("__cos", cos)
+        best = j.groupBy("vec_id").agg(F.max("__cos").alias("m"))
+        return best.agg(F.avg("m")).first()[0]
+
+    seed_obj = objective(
+        ivf_centroids(emb, 6, 7).select(
+            "c_id", F.col("c_vec").cast("array<double>").alias("c_vec")
+        )
+    )
+    fit_obj = objective(kmeans_fit(emb, k=6, n_iters=3, seed=7))
+    assert fit_obj >= seed_obj - 1e-12
+    # refined assignment still covers every vector with seed-id labels
+    cells = ivf_assign(emb, kmeans_fit(emb, k=6, n_iters=3, seed=7))
+    assert cells.count() == emb.count()
+
+
+def test_kmeans_empty_cluster_keeps_seed_centroid(spark):
+    """k seeds over fewer distinct vectors: clusters that win nothing
+    keep their previous centroid instead of vanishing."""
+    from pacasam_spark.operators.kmeans import kmeans_fit
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)]
+    rows += [(10 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = kmeans_fit(emb, k=4, n_iters=2, seed=7)
+    got = {r["c_id"]: r["c_vec"] for r in cent.collect()}
+    assert len(got) == 4  # all four clusters survive
+    for vec in got.values():
+        assert len(vec) == 4
+
+
+def test_ivf_refined_exhaustive_probe_still_equals_brute_force(spark):
+    """The exhaustive-probe == brute-force identity is codebook-
+    independent — it must hold under k-means-refined centroids too."""
+    from pacasam_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter("vec_id < 10").selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    brute = sorted(
+        (r["q_id"], r["rank"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=3).collect()
+    )
+    refined = sorted(
+        (r["q_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_cosine_topk(
+            emb, q, k=3, n_centroids=6, nprobe=6, refine_iters=2
+        ).collect()
+    )
+    assert refined == brute
