@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default=None,
                    help="stage-checkpoint dir: a killed run resumes from "
                         "its last committed stage (bitwise-identical)")
+    p.add_argument("--snapshot-dir", default=None,
+                   help="versioned snapshot table: each run commits the "
+                        "selection as the next snapshot (atomic manifest, "
+                        "per-partition lineage, time-travel reads via "
+                        "sources.snapshots.read_snapshot)")
     # legacy flag-driven mode (no --config)
     p.add_argument("--db-size", type=int, default=10000)
     p.add_argument("--target", type=int, default=500)
@@ -126,12 +131,28 @@ def run(args: argparse.Namespace) -> dict:
         os.makedirs(args.output, exist_ok=True)
         shutil.copy(args.config, os.path.join(args.output, os.path.basename(args.config)))
 
+    snapshot_version = None
+    if args.snapshot_dir:
+        from pacasam_spark.sources.snapshots import write_snapshot
+
+        snapshot_version = write_snapshot(
+            extracted,
+            args.snapshot_dir,
+            metadata={
+                "task": task_name,
+                "sampler": args.sampler_class,
+                "seed": args.seed,
+                "config_fingerprint": sampler._run_fingerprint(),
+            },
+        )
+
     summary = {
         "sampler": args.sampler_class,
         "connector": args.connector_class,
         "n_sampled": n,
         "sampling_path": sampling_path,
         "reports": reports,
+        "snapshot_version": snapshot_version,
     }
     print(json.dumps(summary))
     return summary

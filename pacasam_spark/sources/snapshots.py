@@ -1,0 +1,161 @@
+"""Versioned snapshot storage for sampling outputs — the plain-parquet
+analogue of Iceberg's snapshot metadata (north rule: sampling state
+checkpoints to snapshot metadata with per-partition lineage + metrics,
+resumable and inspectable after the fact).
+
+Layout under a table directory:
+
+    <dir>/v00001/data/*.parquet     the snapshot's rows
+    <dir>/v00001/manifest.json      commit marker + metadata (written LAST)
+
+Commit protocol (same discipline as samplers/base._stage): data first,
+then the manifest via atomic rename — a killed writer leaves a data dir
+with NO manifest, which every reader ignores and no writer ever reuses
+(next version = max over ALL vNNNNN dirs + 1, committed or not). The
+manifest records what Iceberg keeps in its snapshot summary: version,
+parent version, row count, schema, the caller's metadata (sampler
+config fingerprint, seed, ...), and per-partition row counts so skew in
+any historical snapshot is diagnosable from the directory alone.
+
+`read_snapshot(version=None)` is time travel: latest committed by
+default, any committed version explicitly. `expire_snapshots` drops old
+versions' data but keeps their manifests (history stays inspectable —
+the Iceberg expire-snapshots shape).
+
+A real multi-writer deployment would route commits through a table
+format's atomic catalog (Iceberg/Delta); this module is the
+single-writer engine-level shape, like sources/bucketed.py is for the
+bucket transform. Reference: pacasam writes one flat GeoPackage per run
+(connectors/geopandas.py:24-31) — no history, no resume, no lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_VDIR = re.compile(r"^v(\d{5})$")
+
+
+def _versions(table_dir: str) -> list[int]:
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        m = _VDIR.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _committed_versions(table_dir: str) -> list[int]:
+    return [
+        v
+        for v in _versions(table_dir)
+        if os.path.isfile(_manifest_path(table_dir, v))
+    ]
+
+
+def _vdir(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"v{version:05d}")
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_vdir(table_dir, version), "manifest.json")
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    metadata: dict | None = None,
+) -> int:
+    """Commit ``df`` as the next snapshot of ``table_dir``; returns the
+    new version number. One extra aggregation over the written files
+    collects the per-partition lineage (rows per task) and the total —
+    the same single count-shuffle samplers/base._stage pays."""
+    os.makedirs(table_dir, exist_ok=True)
+    version = (_versions(table_dir) or [0])[-1] + 1
+    vdir = _vdir(table_dir, version)
+    data_dir = os.path.join(vdir, "data")
+    df.write.mode("overwrite").parquet(data_dir)
+
+    spark = df.sparkSession
+    written = spark.read.parquet(data_dir)
+    parts = (
+        written.groupBy(F.spark_partition_id().alias("partition_id"))
+        .count()
+        .collect()
+    )
+    committed = _committed_versions(table_dir)
+    manifest = {
+        "version": version,
+        "parent_version": committed[-1] if committed else None,
+        "row_count": sum(r["count"] for r in parts),
+        "schema": written.schema.jsonValue(),
+        "partitions": {str(r["partition_id"]): r["count"] for r in parts},
+        "metadata": metadata or {},
+    }
+    # atomic commit: manifest appears fully written or not at all
+    fd, tmp = tempfile.mkstemp(dir=vdir, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(table_dir, version))
+    return version
+
+
+def snapshots(table_dir: str) -> list[dict]:
+    """All committed manifests, oldest first — the table's history."""
+    out = []
+    for v in _committed_versions(table_dir):
+        with open(_manifest_path(table_dir, v)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the latest committed snapshot, or an explicit
+    committed version. Uncommitted (crashed) writes are invisible."""
+    committed = _committed_versions(table_dir)
+    if not committed:
+        raise FileNotFoundError(f"no committed snapshots under {table_dir}")
+    if version is None:
+        version = committed[-1]
+    if version not in committed:
+        raise FileNotFoundError(
+            f"snapshot v{version:05d} of {table_dir} does not exist or was "
+            f"never committed (committed: {committed})"
+        )
+    data_dir = os.path.join(_vdir(table_dir, version), "data")
+    if not os.path.isdir(data_dir):
+        raise FileNotFoundError(
+            f"snapshot v{version:05d} of {table_dir} was expired — its "
+            "manifest survives for inspection but the data is gone"
+        )
+    return spark.read.parquet(data_dir)
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
+    """Drop the DATA of all but the newest ``keep_last`` committed
+    snapshots (manifests stay — history remains inspectable); returns
+    the expired version numbers. Uncommitted dirs are removed whole."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    committed = _committed_versions(table_dir)
+    expired = []
+    for v in committed[:-keep_last]:
+        data_dir = os.path.join(_vdir(table_dir, v), "data")
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+            expired.append(v)
+    for v in _versions(table_dir):
+        if v not in committed:
+            shutil.rmtree(_vdir(table_dir, v))
+    return expired

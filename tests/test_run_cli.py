@@ -216,3 +216,34 @@ DiversitySampler:
         r["patch_id"] for r in sel_p.collect()
     )
     spark.sql("DROP TABLE IF EXISTS cli_bucketed_adopted")
+
+
+def test_run_sampling_snapshot_dir(spark, tmp_path):
+    """--snapshot-dir commits each run as the next version of a
+    snapshot table: atomic manifest, lineage, time-travel reads."""
+    from pacasam_spark.run_sampling import build_parser, run
+    from pacasam_spark.sources.snapshots import read_snapshot, snapshots
+
+    out = str(tmp_path / "out")
+    snap = str(tmp_path / "snaps")
+    argv = [
+        "--output", out, "--snapshot-dir", snap,
+        "--db-size", "400", "--target", "60",
+    ]
+    s1 = run(build_parser().parse_args(argv + ["--seed", "1"]))
+    s2 = run(build_parser().parse_args(argv + ["--seed", "2"]))
+    assert (s1["snapshot_version"], s2["snapshot_version"]) == (1, 2)
+
+    hist = snapshots(snap)
+    assert [m["version"] for m in hist] == [1, 2]
+    assert all(m["row_count"] == 60 for m in hist)
+    assert hist[0]["metadata"]["seed"] == 1
+    assert hist[0]["metadata"]["config_fingerprint"] != \
+        hist[1]["metadata"]["config_fingerprint"]  # seed is in the hash
+    v1 = read_snapshot(spark, snap, version=1)
+    latest = read_snapshot(spark, snap)
+    assert v1.count() == 60 and latest.count() == 60
+    # different seeds really selected different patches
+    ids1 = {r["patch_id"] for r in v1.select("patch_id").collect()}
+    ids2 = {r["patch_id"] for r in latest.select("patch_id").collect()}
+    assert ids1 != ids2

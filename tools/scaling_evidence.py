@@ -3,7 +3,7 @@ two parallelism levels (local[8] = N, local[32] = 4N), reporting
 throughput at both and the scaling efficiency.
 
 Each level runs in its own subprocess (one JVM per parallelism level).
-Results go to stdout as JSON; tools/write_bench_md.py formats BENCH.md.
+Results go to stdout as JSON; BENCH.md quotes them verbatim.
 
 Usage: python tools/scaling_evidence.py [db_size] [target]
 """
@@ -283,7 +283,14 @@ def main() -> None:
     runs_n, runs_4n = [], []
     for t in range(trials):
         runs_n.append(run(n, db_size, target, sampler))
+        # stream each finished trial to stderr so a killed run still
+        # leaves its measurements on disk
+        print(f"trial {t} local[{n}]: {json.dumps(runs_n[-1])}", file=sys.stderr)
         runs_4n.append(run(4 * n, db_size, target, sampler))
+        print(
+            f"trial {t} local[{4 * n}]: {json.dumps(runs_4n[-1])}",
+            file=sys.stderr,
+        )
     r_n = min(runs_n, key=lambda r: r["sec"])
     r_4n = min(runs_4n, key=lambda r: r["sec"])
     eff = r_4n["patches_per_sec"] / (4 * r_n["patches_per_sec"])
