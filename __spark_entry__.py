@@ -1703,6 +1703,67 @@ select vec_id, cell from a2
 Q53_SQL = _q53_sql()
 
 
+def q54_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus quality rules (word-count / mean-word-length /
+    bullet / ellipsis / alpha / stopword / duplicate-line filters) as
+    pure column expressions — the standard pre-training filter battery,
+    one scan, no UDF."""
+    from pacasam_spark.operators.text import gopher_quality_flags
+
+    return gopher_quality_flags(
+        _t(spark, sf_dir, "documents"), min_words=30, max_words=5000
+    )
+
+
+_Q54_STOP = "['" + "', '".join(
+    ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+) + "']"
+
+Q54_SQL = f"""
+with base as (
+  select doc_id, text, {_DDB_WORDS} as w,
+         list_filter(string_split(text, chr(10)), x -> x != '') as lines
+  from documents
+),
+m as (
+  select doc_id,
+    len(w) as n,
+    len(lines) as n_lines,
+    case when len(w) > 0 then
+      cast(list_reduce(list_transform(w, x -> cast(strlen(x) as int)), (a, b) -> a + b) as double) / len(w)
+      else 0.0 end as mean_len,
+    case when len(lines) > 0 then
+      cast(len(list_filter(lines, x -> starts_with(x, '-') or starts_with(x, '*'))) as double) / len(lines)
+      else 0.0 end as bullet_frac,
+    case when len(lines) > 0 then
+      cast(len(list_filter(lines, x -> ends_with(x, '...'))) as double) / len(lines)
+      else 0.0 end as ellipsis_frac,
+    case when len(lines) > 0 then
+      1.0 - cast(len(list_distinct(lines)) as double) / len(lines)
+      else 0.0 end as dup_line_frac,
+    case when len(w) > 0 then
+      cast(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) as double) / len(w)
+      else 0.0 end as alpha_frac,
+    len(list_intersect(list_distinct(w), {_Q54_STOP})) as stop_hits
+  from base
+),
+f as (
+  select doc_id, cast(n as bigint) as n_words,
+    (n >= 30 and n <= 5000) as ok_n_words,
+    (mean_len >= 3.0 and mean_len <= 10.0) as ok_mean_len,
+    (bullet_frac < 0.9) as ok_bullets,
+    (ellipsis_frac < 0.3) as ok_ellipsis,
+    (alpha_frac > 0.8) as ok_alpha,
+    (stop_hits >= 2) as ok_stopwords,
+    (dup_line_frac <= 0.3) as ok_repetition
+  from m
+)
+select *, (ok_n_words and ok_mean_len and ok_bullets and ok_ellipsis
+           and ok_alpha and ok_stopwords and ok_repetition) as keep
+from f
+"""
+
+
 def q39_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-bucketed kNN join over patch centroids (north rule: H3/S2 +
     kNN). Same bucketing replayed by the oracle; brute-force equivalence
@@ -1811,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_near_dedup_pipeline": q51_near_dedup_pipeline,
         "q52_simhash_pairs": q52_simhash_pairs,
         "q53_kmeans_cells": q53_kmeans_cells,
+        "q54_gopher_quality": q54_gopher_quality,
     }
 
 
@@ -1870,4 +1932,5 @@ def oracle_sql() -> dict[str, str]:
         "q51_near_dedup_pipeline": Q51_SQL,
         "q52_simhash_pairs": Q52_SQL,
         "q53_kmeans_cells": Q53_SQL,
+        "q54_gopher_quality": Q54_SQL,
     }

@@ -697,3 +697,35 @@ def test_connected_components_releases_every_persist(spark, monkeypatch):
     assert out.count() == 40
     assert set(persisted) <= set(unpersisted)
     assert len(persisted) >= 3  # raw, edges, nodes all pinned during the run
+
+
+def test_gopher_quality_flags_each_rule(spark):
+    """Each Gopher rule trips on its crafted offender and only that
+    offender's flag goes false; the clean doc keeps everything."""
+    from pacasam_spark.operators.text import gopher_quality_flags
+
+    clean = "the quick brown fox is happy and it runs to the forest for fun"
+    rows = [
+        (1, clean),                                     # keeps
+        (2, "the of and"),                              # too few words
+        (3, " ".join(["supercalifragilistic"] * 12)),   # mean len + stopwords
+        (4, "\n".join(["- item the of it is"] * 10)),   # bullets + repetition
+        (5, "\n".join(f"the line number {i} is..." for i in range(10))),  # ellipsis
+        (6, "the 1 2 3 4 5 6 7 8 9 0 1 2 3 4 is of"),   # alpha frac
+        (7, ""),                                        # empty: fails, no NULLs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_flags(df, min_words=5, max_words=100).collect()
+    }
+    assert got[1]["keep"] is True
+    assert got[2]["ok_n_words"] is False
+    assert got[3]["ok_mean_len"] is False and got[3]["ok_stopwords"] is False
+    assert got[4]["ok_bullets"] is False and got[4]["ok_repetition"] is False
+    assert got[5]["ok_ellipsis"] is False
+    assert got[6]["ok_alpha"] is False
+    # empty doc: every field is a real boolean (no NULL/NaN leakage)
+    assert got[7]["keep"] is False and got[7]["ok_n_words"] is False
+    for k, v in got[7].items():
+        assert v is not None, k
