@@ -118,6 +118,12 @@ def connected_components(
         # Blocks live on executors (ContextCleaner reclaims dropped
         # rounds); for fault-tolerant long chains on a real cluster, set
         # a checkpoint dir and swap for .checkpoint() — same contract.
+        # Measured dead end, do not retry: fusing TWO star pairs per
+        # checkpoint to halve the barriers runs ~3x SLOWER — each star
+        # phase references its input subtree several times (mins + join
+        # + both small-star branches), and an UNmaterialized first pair
+        # gets re-executed once per reference; the per-round checkpoint
+        # is precisely what makes multi-reference rounds cheap.
         nxt = _small_star(_large_star(sym)).localCheckpoint(eager=False)
         nxt_sig = signature(nxt)
         edges.unpersist()
