@@ -1594,8 +1594,16 @@ def q52_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pacasam_spark.operators.dedup import simhash_band_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    pairs = simhash_band_pairs(docs, max_distance=3)
+    pairs = simhash_band_pairs(
+        docs, max_distance=3, max_bucket_size=Q52_BUCKET_CAP
+    )
     return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+# Shared by the Spark path and the oracle so the degenerate-bucket cap is
+# replayed on both sides — without the mirror the gate only held because
+# doc_id < 200 kept every band bucket under the default cap.
+Q52_BUCKET_CAP = 10000
 
 
 def _q52_sql() -> str:
@@ -1625,11 +1633,19 @@ sims as (
   from bits
 ),
 banded as ({banded_union}),
+kept as (
+  select band, band_val from banded
+  group by band, band_val having count(*) <= {Q52_BUCKET_CAP}
+),
+bounded as (
+  select banded.* from banded
+  join kept on banded.band = kept.band and banded.band_val = kept.band_val
+),
 cand as (
   select distinct a.doc_id as id_a, b.doc_id as id_b,
          a.simhash as sim_a, b.simhash as sim_b
-  from banded a
-  join banded b on a.band = b.band and a.band_val = b.band_val
+  from bounded a
+  join bounded b on a.band = b.band and a.band_val = b.band_val
               and a.doc_id < b.doc_id
 )
 select id_a, id_b, cast(bit_count(xor(sim_a, sim_b)) as bigint) as hamming
@@ -1839,16 +1855,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_synthetic_catalogue": q18_synthetic_catalogue,
         "q19_stratified_catalogue": q19_stratified_catalogue,
         "q20_exact_dedup": q20_exact_dedup,
-        "q21_minhash_signatures": q21_minhash_signatures,
+        # q21/q23/q24/q30 retired from the registry (driver gate checks at
+        # most 50 entries): their SQL is embedded verbatim in q22 / q52 /
+        # q51 / q45+q50's oracles and their operators stay pytest-covered
+        # (test_operators, test_streaming). Functions remain callable above.
         "q22_lsh_near_dup_pairs": q22_lsh_near_dup_pairs,
-        "q23_simhash": q23_simhash,
-        "q24_ngram_jaccard": q24_ngram_jaccard,
         "q25_token_stats": q25_token_stats,
         "q26_lang_scores": q26_lang_scores,
         "q27_doc_fingerprint": q27_doc_fingerprint,
         "q28_cosine_topk": q28_cosine_topk,
         "q29_cosine_pairs": q29_cosine_pairs,
-        "q30_sessionize": q30_sessionize,
         "q31_hourly_event_rollup": q31_hourly_event_rollup,
         "q32_image_metadata": q32_image_metadata,
         "q33_zone_join": q33_zone_join,
@@ -1898,16 +1914,12 @@ def oracle_sql() -> dict[str, str]:
         "q18_synthetic_catalogue": Q18_SQL,
         "q19_stratified_catalogue": Q19_SQL,
         "q20_exact_dedup": Q20_SQL,
-        "q21_minhash_signatures": Q21_SQL,
         "q22_lsh_near_dup_pairs": Q22_SQL,
-        "q23_simhash": Q23_SQL,
-        "q24_ngram_jaccard": Q24_SQL,
         "q25_token_stats": Q25_SQL,
         "q26_lang_scores": Q26_SQL,
         "q27_doc_fingerprint": Q27_SQL,
         "q28_cosine_topk": Q28_SQL,
         "q29_cosine_pairs": Q29_SQL,
-        "q30_sessionize": Q30_SQL,
         "q31_hourly_event_rollup": Q31_SQL,
         "q32_image_metadata": Q32_SQL,
         "q33_zone_join": Q33_SQL,

@@ -139,8 +139,11 @@ def main() -> None:
         assert n_b == n_sampled, (n_b, n_sampled)
         timings["triple_sampler_bucketed"] = round(dt_b, 3)
         bucketed_speedup = dt / dt_b if dt_b > 0 else 0.0
-        spark.sql("DROP TABLE IF EXISTS bench_bucketed_catalogue")
     finally:
+        # DROP must run even when the bucketed leg throws: the temp data
+        # dir is removed below, and a stale metastore entry pointing at a
+        # deleted location breaks the next run in the same warehouse.
+        spark.sql("DROP TABLE IF EXISTS bench_bucketed_catalogue")
         shutil.rmtree(bdir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)

@@ -79,7 +79,7 @@ def lsh_near_dup_pairs(
     min_shared_bands: int = 2,
     max_bucket_size: int = 10000,
     return_dropped: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Candidate near-dup pairs sharing >= k of the band signatures.
     Equi-join on (band, sig): docs only meet if a signature collides —
     the LSH bucket join; with the bucket cap below, candidate volume is
@@ -161,7 +161,7 @@ def hamming_near_dup_pairs(
     bits: int = 64,
     max_bucket_size: int = 10000,
     return_dropped: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-dup pairs under Hamming distance over an int64 fingerprint
     column — the image-payload dedup path (BASELINE.json input_hint
     carries ``phash:int64`` per image; pacasam itself has no image
@@ -244,29 +244,6 @@ _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 _HEX_BIT2 = ("4", "5", "6", "7", "c", "d", "e", "f")
 
 
-def simhash32(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """32-bit SimHash per doc: bit j is the sign of the sum over distinct
-    words of ±1 according to bit j of md5(word) (the high bit of hex digit
-    j). Pure exprs + one shuffle on doc_id; identical in DuckDB."""
-    tokens = (
-        df.select(id_col, F.explode(words_col(F.col(text_col))).alias("w"))
-        .distinct()
-        .withColumn("h", F.md5("w"))
-    )
-    aggs = []
-    for j in range(32):
-        bit = F.substring("h", j + 1, 1).isin(*_HEX_HIGH)
-        aggs.append(F.sum(F.when(bit, 1).otherwise(-1)).alias(f"b{j}"))
-    sums = tokens.groupBy(id_col).agg(*aggs)
-    sim = None
-    for j in range(32):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return sums.select(id_col, sim.cast("long").alias("simhash"))
-
-
 def _simhash64_sums(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-doc ±1 bit sums for a 64-bit SimHash: two bits per md5 hex
     digit — bit 2j from digit j's high bit (value 8), bit 2j+1 from its
@@ -319,7 +296,7 @@ def simhash_band_pairs(
     max_distance: int = 3,
     max_bucket_size: int = 10000,
     return_dropped: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """SimHash near-dup pairs: candidates share one of the four 16-bit
     bands of the 64-bit signature (pigeonhole guarantees every pair with
     Hamming distance <= 3 collides on a whole band), then candidates are

@@ -77,8 +77,13 @@ def write_snapshot(
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``; returns the
     new version number. One extra aggregation over the written files
-    collects the per-partition lineage (rows per task) and the total —
-    the same single count-shuffle samplers/base._stage pays."""
+    collects the per-FILE lineage (rows per committed part-file — the
+    writer's task layout, since each write task commits exactly the
+    part-files it produced) and the total — the same single
+    count-shuffle samplers/base._stage pays. Grouping by
+    spark_partition_id() of the re-read would instead record READ
+    splits, which depend on maxPartitionBytes packing, not on how the
+    snapshot was written."""
     os.makedirs(table_dir, exist_ok=True)
     version = (_versions(table_dir) or [0])[-1] + 1
     vdir = _vdir(table_dir, version)
@@ -88,7 +93,7 @@ def write_snapshot(
     spark = df.sparkSession
     written = spark.read.parquet(data_dir)
     parts = (
-        written.groupBy(F.spark_partition_id().alias("partition_id"))
+        written.groupBy(F.input_file_name().alias("file"))
         .count()
         .collect()
     )
@@ -98,7 +103,7 @@ def write_snapshot(
         "parent_version": committed[-1] if committed else None,
         "row_count": sum(r["count"] for r in parts),
         "schema": written.schema.jsonValue(),
-        "partitions": {str(r["partition_id"]): r["count"] for r in parts},
+        "files": {os.path.basename(r["file"]): r["count"] for r in parts},
         "metadata": metadata or {},
     }
     # atomic commit: manifest appears fully written or not at all

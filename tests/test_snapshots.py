@@ -1,5 +1,5 @@
 """Snapshot/time-travel storage contract (sources/snapshots.py):
-atomic commit, uncommitted writes invisible, per-partition lineage in
+atomic commit, uncommitted writes invisible, per-file lineage in
 every manifest, expire keeps history."""
 
 import json
@@ -32,8 +32,12 @@ def test_snapshot_versions_and_time_travel(spark, tmp_path):
     assert hist[1]["parent_version"] == 1
     assert hist[1]["row_count"] == 25
     assert hist[1]["metadata"] == {"seed": 2}
-    # per-partition lineage sums to the total
-    assert sum(hist[1]["partitions"].values()) == 25
+    # per-file lineage: keyed by committed part-file basename, sums to
+    # the total (writer-task layout, not read splits)
+    assert sum(hist[1]["files"].values()) == 25
+    data_dir = str(tmp_path / "tbl" / "v00002" / "data")
+    on_disk = {f for f in os.listdir(data_dir) if f.endswith(".parquet")}
+    assert set(hist[1]["files"]) <= on_disk
 
 
 def test_snapshot_uncommitted_write_is_invisible(spark, tmp_path):
