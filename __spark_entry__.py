@@ -1660,15 +1660,16 @@ Q53_K, Q53_ITERS, Q53_SEED = 8, 2, 7
 
 
 def q53_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell assignment under a k-means-refined codebook: 2 Lloyd
-    rounds from the deterministic seed draw, exact decimal means (so the
-    centroids — and every assignment — are bit-identical at any
-    parallelism and in the oracle's replay of the same two rounds)."""
+    """IVF cell assignment under a k-means-refined codebook: kmeans++-
+    style seeding (greedy farthest-point over a hash-sampled candidate
+    pool — derandomized, so the oracle replays the same greedy steps),
+    then 2 Lloyd rounds with exact decimal means (centroids — and every
+    assignment — bit-identical at any parallelism and in the oracle)."""
     from pacasam_spark.operators.kmeans import kmeans_assign
 
     emb = _t(spark, sf_dir, "embeddings")
     return kmeans_assign(
-        emb, k=Q53_K, n_iters=Q53_ITERS, seed=Q53_SEED
+        emb, k=Q53_K, n_iters=Q53_ITERS, seed=Q53_SEED, init="pp"
     ).select("vec_id", "cell")
 
 
@@ -1706,12 +1707,44 @@ def _q53_sql() -> str:
   from {prev_cent} p left join {out}_v v using (c_id)
 )"""
 
+    # kmeans++ seeding replay: hash-sampled candidate pool (4k rows),
+    # first pick = smallest det_hash, then k-1 unrolled greedy
+    # farthest-point steps (argmax min cosine distance, ties -> smaller
+    # vec_id) — the exact steps ivf_centroids_pp runs driver-side, in
+    # the same left-fold double arithmetic.
+    cosd = (
+        f"1 - ({_DOT.format(a='c.vec', b='p.vec')}"
+        f" / ({_NORM.format(a='c.vec')} * {_NORM.format(a='p.vec')}))"
+    )
+    # MATERIALIZED: each ch{{i}} is referenced three times by level i+1;
+    # DuckDB inlines plain CTEs per reference, which makes the chain
+    # exponential (3^(k-1) re-evaluations hung the gate) — materializing
+    # pins each step to one evaluation.
+    fps_steps = []
+    for i in range(2, Q53_K + 1):
+        fps_steps.append(f"""
+d{i} as materialized (
+  select c.vec_id, c.vec, min({cosd}) as dmin
+  from cand c, ch{i - 1} p
+  where c.vec_id not in (select vec_id from ch{i - 1})
+  group by c.vec_id, c.vec
+),
+p{i} as materialized (select vec_id, vec from d{i} order by dmin desc, vec_id limit 1),
+ch{i} as materialized (select vec_id, vec from ch{i - 1}
+          union all select vec_id, vec from p{i})""")
+    fps = ",".join(fps_steps)
+
     return f"""
 with e as (select vec_id, embedding from embeddings),
-c0 as (
-  select vec_id as c_id, cast(embedding as double[]) as c_vec from embeddings
-  order by {det_hash_sql('vec_id', Q53_SEED)}, vec_id limit {Q53_K}
-),{assign('c0', 'a0')},{update('a0', 'c0', 'c1')},{assign('c1', 'a1')},{update('a1', 'c1', 'c2')},{assign('c2', 'a2')}
+cand as materialized (
+  select vec_id, cast(embedding as double[]) as vec from embeddings
+  order by {det_hash_sql('vec_id', Q53_SEED)}, vec_id limit {4 * Q53_K}
+),
+ch1 as materialized (
+  select vec_id, vec from cand
+  order by {det_hash_sql('vec_id', Q53_SEED)}, vec_id limit 1
+),{fps},
+c0 as (select vec_id as c_id, vec as c_vec from ch{Q53_K}),{assign('c0', 'a0')},{update('a0', 'c0', 'c1')},{assign('c1', 'a1')},{update('a1', 'c1', 'c2')},{assign('c2', 'a2')}
 select vec_id, cell from a2
 """
 

@@ -35,7 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pacasam_spark.operators.similarity import ivf_assign, ivf_centroids
+from pacasam_spark.operators.similarity import (
+    ivf_assign,
+    ivf_centroids,
+    ivf_centroids_pp,
+)
 
 
 def _recompute_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
@@ -66,14 +70,22 @@ def kmeans_fit(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "uniform",
 ) -> DataFrame:
     """Centroid table (c_id, c_vec) after ``n_iters`` Lloyd rounds from
     the deterministic seed draw. c_id keeps the seed vector's id — a
-    stable cluster label across rounds."""
+    stable cluster label across rounds. ``init='pp'`` seeds with the
+    derandomized kmeans++ draw (similarity.ivf_centroids_pp: greedy
+    farthest-point over a hash-sampled candidate pool) — measurably
+    tighter IVF cells than the uniform draw at the same iteration
+    budget (pinned by test_kmeanspp_seeding_tightens_cells)."""
+    if init not in ("uniform", "pp"):
+        raise ValueError(f"init must be 'uniform' or 'pp', got {init!r}")
+    seeder = ivf_centroids_pp if init == "pp" else ivf_centroids
     spark = emb.sparkSession
     cent_rows = [
         (int(r["c_id"]), [float(x) for x in r["c_vec"]])
-        for r in ivf_centroids(emb, k, seed, id_col, vec_col).collect()
+        for r in seeder(emb, k, seed, id_col=id_col, vec_col=vec_col).collect()
     ]
     for _ in range(n_iters):
         cent = spark.createDataFrame(
@@ -96,8 +108,9 @@ def kmeans_assign(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "uniform",
 ) -> DataFrame:
     """(id, vec, cell) under the fitted centroids — the IVF cell
     assignment with a k-means-refined codebook."""
-    cent = kmeans_fit(emb, k, n_iters, seed, id_col, vec_col)
+    cent = kmeans_fit(emb, k, n_iters, seed, id_col, vec_col, init)
     return ivf_assign(emb, cent, id_col, vec_col)

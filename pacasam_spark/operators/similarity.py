@@ -111,6 +111,85 @@ def ivf_centroids(
     )
 
 
+def ivf_centroids_pp(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 7,
+    n_candidates: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kmeans++-style deterministic seeding: hash-sample a candidate set
+    (``n_candidates``, default 4k, smallest det_hash — a seeded uniform
+    draw like :func:`ivf_centroids`), take the first candidate, then
+    greedily add the candidate FARTHEST (max-min cosine distance, ties
+    to the smaller id) from the chosen set — the derandomized k-means++
+    variant (greedy farthest-point over a sampled candidate pool; the
+    classic algorithm's D²-weighted random draw replaced by argmax so
+    the pick is a pure function of the candidate set).
+
+    Scale + determinism: the candidate pull is a TakeOrdered of 4k rows
+    (bounded driver barrier, k*dim doubles — same class as the Lloyd
+    barrier in operators/kmeans.py); the FPS loop then runs driver-side
+    over those rows using sequential left-fold double arithmetic, which
+    is bit-identical to the _dot/_norm column expressions AND to the
+    DuckDB oracle's list_reduce fold — so the chosen seeds (and every
+    downstream Lloyd round) replay exactly in SQL (q53's oracle unrolls
+    these same greedy steps)."""
+    import math
+
+    from pacasam_spark.operators.hashing import det_hash
+
+    if n_candidates is None:
+        n_candidates = 4 * n_centroids
+    rows = (
+        emb.orderBy(det_hash(id_col, seed), F.col(id_col))
+        .limit(n_candidates)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cands = [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows]
+    if len(cands) < n_centroids:
+        raise ValueError(
+            f"need >= {n_centroids} candidate vectors, got {len(cands)}"
+        )
+
+    def cosd(a: list[float], b: list[float]) -> float:
+        # sequential left folds: same rounding as F.aggregate / DuckDB
+        # list_reduce (0.0 + x == x exactly, so the missing init of
+        # list_reduce changes nothing)
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        return 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+
+    first_id, first_vec = cands[0]
+    chosen = [(first_id, first_vec)]
+    # min distance to the chosen set per remaining candidate; the
+    # incremental min equals SQL's min() over the full chosen set
+    dmin = {cid: cosd(vec, first_vec) for cid, vec in cands[1:]}
+    vecs = dict(cands)
+    while len(chosen) < n_centroids:
+        # argmax min-distance, ties to the smaller id (oracle:
+        # ORDER BY dmin DESC, vec_id LIMIT 1)
+        pick = max(dmin, key=lambda cid: (dmin[cid], -cid))
+        chosen.append((pick, vecs[pick]))
+        del dmin[pick]
+        for cid in dmin:
+            d = cosd(vecs[cid], vecs[pick])
+            if d < dmin[cid]:
+                dmin[cid] = d
+    return emb.sparkSession.createDataFrame(
+        chosen, "c_id long, c_vec array<double>"
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,

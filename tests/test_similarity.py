@@ -327,3 +327,43 @@ def test_ivf_refined_exhaustive_probe_still_equals_brute_force(spark):
         ).collect()
     )
     assert refined == brute
+
+
+def test_kmeanspp_seeding_tightens_cells(spark):
+    """init='pp' (greedy farthest-point over the hash-sampled candidate
+    pool) yields a strictly better spherical k-means objective — lower
+    mean intra-cell cosine distance — than the uniform draw at q53's
+    exact config, and stays deterministic across partitionings."""
+    from pyspark.sql import functions as F
+
+    from pacasam_spark.operators.kmeans import kmeans_assign, kmeans_fit
+    from pacasam_spark.operators.similarity import _dot, _norm
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def objective(cent):
+        cos = _dot(F.col("embedding"), F.col("c_vec")) / (
+            _norm(F.col("embedding")) * _norm(F.col("c_vec"))
+        )
+        j = emb.join(F.broadcast(cent)).withColumn("__cos", cos)
+        return j.groupBy("vec_id").agg(F.max("__cos").alias("m")).agg(
+            F.avg("m")
+        ).first()[0]
+
+    uni = objective(kmeans_fit(emb, k=8, n_iters=2, seed=7, init="uniform"))
+    pp = objective(kmeans_fit(emb, k=8, n_iters=2, seed=7, init="pp"))
+    assert pp > uni  # measured 0.2599 vs 0.2540 on this fixture
+
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in kmeans_assign(
+            emb.repartition(1), k=8, n_iters=2, init="pp"
+        ).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in kmeans_assign(
+            emb.repartition(13), k=8, n_iters=2, init="pp"
+        ).collect()
+    )
+    assert a == b and len(a) == emb.count()
