@@ -65,3 +65,40 @@ def rewrite_samba_paths(df: DataFrame, column: str = "file_path") -> DataFrame:
             "/",
         ),
     )
+
+
+def partition_ranges(
+    lower_bound: int, upper_bound: int, num_partitions: int
+) -> list[tuple[int | None, int | None]]:
+    """The [start, end) ranges a partitioned JDBC read generates — the
+    same arithmetic as Spark's JDBCRelation.columnPartition: stride =
+    upper // n - lower // n (each bound integer-divided BEFORE the
+    subtraction), partition 0 is open below (and picks up NULLs), the
+    last is open above, interior partitions are half-open [start,
+    start + stride). Open ends are None.
+
+    Exposed so the partition layout is testable and inspectable WITHOUT
+    a database connection (no driver jar ships in this container): the
+    ranges must be non-overlapping and exhaustive — every value of the
+    partition column, including values OUTSIDE [lower, upper), lands in
+    exactly one partition, so a misconfigured bound skews partitions
+    but never drops or duplicates rows."""
+    if num_partitions <= 0:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    if lower_bound > upper_bound:
+        raise ValueError(
+            f"lower_bound {lower_bound} > upper_bound {upper_bound}"
+        )
+    # Spark clamps: at most (upper - lower) partitions, min 1
+    n = min(num_partitions, max(upper_bound - lower_bound, 1))
+    if n <= 1:
+        return [(None, None)]
+    stride = upper_bound // n - lower_bound // n
+    ranges: list[tuple[int | None, int | None]] = []
+    current = lower_bound + stride
+    ranges.append((None, current))  # col < current OR col IS NULL
+    for _ in range(1, n - 1):
+        ranges.append((current, current + stride))
+        current += stride
+    ranges.append((current, None))  # col >= current
+    return ranges

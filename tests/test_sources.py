@@ -69,3 +69,36 @@ def test_ingest_parity_contract(spark):
     assert r["patch_id"].startswith("D") and len(r["patch_id"].split("-")[1]) == 9
     assert r["rgb_file"].startswith("/mnt/ortho/RVB/")
     assert r["irc_file"].startswith("/mnt/ortho/IRC/")
+
+
+def test_jdbc_partition_ranges_exhaustive_and_disjoint():
+    """S1 partition layout without a connection (r3 advice carried): the
+    generated ranges tile the whole column domain — contiguous, sorted,
+    open at both extremes — for a spread of bound/partition configs,
+    including strides that don't divide evenly."""
+    import pytest as _pytest
+
+    from pacasam_spark.sources.jdbc import partition_ranges
+
+    for lower, upper, n in [
+        (0, 1000, 8),
+        (0, 1000, 7),      # uneven stride
+        (5, 17, 64),       # more partitions than values -> clamped
+        (0, 1 << 40, 64),  # the default catalogue bounds
+        (-100, 100, 3),    # negative lower bound
+        (3, 3, 4),         # empty range -> single partition
+    ]:
+        ranges = partition_ranges(lower, upper, n)
+        assert 1 <= len(ranges) <= n
+        assert ranges[0][0] is None and ranges[-1][1] is None
+        # contiguous + non-overlapping: each end == next start
+        for (s0, e0), (s1, e1) in zip(ranges, ranges[1:]):
+            assert e0 == s1 and e0 is not None
+        # interior ranges are non-empty and increasing
+        interior = ranges[1:-1]
+        assert all(s < e for s, e in interior)
+
+    with _pytest.raises(ValueError):
+        partition_ranges(0, 10, 0)
+    with _pytest.raises(ValueError):
+        partition_ranges(10, 0, 4)
