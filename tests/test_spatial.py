@@ -156,3 +156,43 @@ def test_polygon_cell_classification_exact_and_pruning(spark):
     }
     want = {pid for pid, px, py in pts if _pip_py(px, py, lshape)}
     assert got == want
+
+
+def test_polygon_edge_pruning_exact_on_many_edge_zones(spark):
+    """Per-cell edge pruning (drop edges left of the cell or outside its
+    y-band) is result-preserving on a 64-edge wobbly ring — every match
+    equals the full-edge-list pure-Python ray cast — while boundary
+    cells carry a strict subset of the polygon's edges."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pacasam_spark.spatial.polygons import (
+        join_points_to_polygons,
+        polygon_zone_cells,
+    )
+
+    ring = [
+        (
+            50.0 + 35.0 * (1 + 0.2 * math.sin(5 * t)) * math.cos(t),
+            50.0 + 35.0 * (1 + 0.2 * math.sin(5 * t)) * math.sin(t),
+        )
+        for t in (2 * math.pi * i / 64 for i in range(64))
+    ]
+    cells = polygon_zone_cells(spark, [("z", ring)], level=0, base=10.0)
+    boundary = [r for r in cells.collect() if not r["interior"]]
+    assert boundary
+    # pruning bites: no boundary cell carries the full 64-edge list
+    assert max(len(r["edges"]) for r in boundary) < 64
+
+    pts = [(i, 0.7 + 2.3 * (i % 43), 0.7 + 2.1 * (i // 43)) for i in range(1800)]
+    df = spark.createDataFrame(pts, "pid int, px double, py double")
+    got = {
+        r["pid"]
+        for r in join_points_to_polygons(
+            df, [("z", ring)], "px", "py", level=0, base=10.0
+        ).collect()
+    }
+    want = {pid for pid, px, py in pts if _pip_py(px, py, ring)}
+    assert got == want
+    assert 0 < len(want) < len(pts)
