@@ -151,6 +151,60 @@ def _bucketed_rank_in_file(df: DataFrame, file_key: str, id_key: str) -> DataFra
     )
 
 
+def _make_chunk_carver(keep: list[str], feature_cols: list[str], proportion: float):
+    """Build the mapInArrow function: consume a partition's record-batch
+    stream (pre-sorted by (chunk, file, id)), slice it into per-chunk
+    runs, and run greedy FPS on each completed run.
+
+    Only the feature columns are materialized as numpy (zero-copy for
+    non-null numerics); keep-columns ride along as Arrow slices and are
+    gathered with ``take`` for the selected rows only.
+    """
+    import pyarrow as pa
+
+    def carve(batches):
+        pending: list[pa.Table] = []  # slices of the current chunk
+
+        def flush():
+            tbl = pa.concat_tables(pending)
+            feats = np.column_stack(
+                [
+                    tbl.column(c).to_numpy(zero_copy_only=False)
+                    for c in feature_cols
+                ]
+            )
+            quota = math.ceil(len(tbl) * proportion)
+            idx = fps_numpy(feats, quota)
+            out = tbl.select(keep + [CHUNK_ID]).take(pa.array(idx, type=pa.int64()))
+            return out.append_column(
+                FPS_RANK, pa.array(np.arange(len(idx), dtype="int32"))
+            )
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch])
+            chunk_ids = tbl.column(CHUNK_ID).to_numpy(zero_copy_only=False)
+            # run boundaries within this (sorted) batch
+            cuts = np.flatnonzero(np.diff(chunk_ids)) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(chunk_ids)]))
+            for s, e in zip(starts, ends):
+                piece = tbl.slice(s, e - s)
+                if pending and pending[0].column(CHUNK_ID)[0].as_py() != chunk_ids[s]:
+                    out = flush()
+                    pending.clear()
+                    for ob in out.to_batches():
+                        yield ob
+                pending.append(piece)
+        if pending:
+            out = flush()
+            for ob in out.to_batches():
+                yield ob
+
+    return carve
+
+
 def fps_sample(
     df: DataFrame,
     num_to_sample: int,
@@ -186,15 +240,26 @@ def fps_sample(
         + [f"{CHUNK_ID} long", f"{FPS_RANK} int"]
     )
 
-    def run_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([file_key, id_key]).reset_index(drop=True)
-        quota = math.ceil(len(pdf) * proportion)
-        idx = fps_numpy(pdf[feature_cols].to_numpy(), quota)
-        out = pdf.loc[idx, keep + [CHUNK_ID]].reset_index(drop=True)
-        out[FPS_RANK] = np.arange(len(idx), dtype="int32")
-        return out
-
-    selected = chunked.groupBy(CHUNK_ID).applyInPandas(run_chunk, schema=out_schema)
+    # Execution shape: hash-repartition on chunk id (each chunk lands
+    # whole in one partition), JVM-sort the partition by
+    # (chunk, file, id), then carve chunk runs out of the sorted Arrow
+    # stream in Python. This replaces groupBy(CHUNK_ID).applyInPandas:
+    # Spark's grouped-map runner frames one group per Arrow batch and,
+    # measured on an 80M-row catalogue at local[16], spends 17x the
+    # wall time of a plain mapInArrow pass over the same bytes (122 s
+    # vs 7 s) before the UDF does any work. mapInArrow over
+    # sorted-within-partition runs moves the identical rows at
+    # streaming cost, numpy views the feature buffers zero-copy, and
+    # the per-chunk pandas sort_values disappears (the JVM sort
+    # already ordered every run by (file_id, patch_id)).
+    selected = (
+        chunked.repartition(F.col(CHUNK_ID))
+        .sortWithinPartitions(CHUNK_ID, file_key, id_key)
+        .mapInArrow(
+            _make_chunk_carver(keep, feature_cols, proportion),
+            out_schema,
+        )
+    )
 
     # Reference trim semantics: concat chunk outputs in chunk order, keep
     # the first n (diversity.py:73-74). A global orderBy+limit would be a

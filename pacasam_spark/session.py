@@ -52,6 +52,25 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Spark 4.1's arrow.maxBytesPerBatch DEFAULT (Int.MaxValue - 1)
+        # enables a per-ROW ArrowWriter.sizeInBytes() walk over every
+        # column vector inside mapInPandas/mapInArrow batching
+        # (BatchedPythonArrowInput.underBatchSizeLimit only short-circuits
+        # on == Int.MaxValue). Measured on a 12-column 80M-row boundary
+        # pass: 46 s -> 7 s at local[16] with the sentinel. The byte cap
+        # was no protection anyway: maxRecordsPerBatch=10000 binds first
+        # for any row under ~200 KB, so rows would have to approach 2 GB
+        # per 10k-batch before the byte limit ever triggered.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(2**31 - 1))
+        # Report the SORTED BY order of bucketed scans (off by default
+        # since Spark 3.0 because it lists files at planning time; our
+        # tables have one file per bucket — see write_bucketed_catalogue
+        # — so the listing is trivial and the payoff is large: the
+        # per-file rank window over a bucketed catalogue plans with NO
+        # Sort at all, the scan streams pre-sorted rows straight into
+        # row_number()). The Iceberg equivalent at cluster scale is the
+        # table's sort-order metadata.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")

@@ -30,6 +30,7 @@ Spark-native replacement.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pacasam_spark import schemas as S
 
@@ -55,7 +56,17 @@ def write_bucketed_catalogue(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
-        df.write.mode("overwrite")
+        # Pre-shuffle onto the bucket hash (repartition's HashPartitioning
+        # and bucketBy share partitionIdExpression = pmod(murmur3, n)) so
+        # every write task holds exactly ONE bucket and each bucket is
+        # exactly ONE file. With >1 file per bucket Spark discards the
+        # SORTED BY metadata at scan time (the merge order across files
+        # is unknown) and re-sorts under every window; with one file the
+        # scan reports outputOrdering = sort_keys and the per-file rank
+        # window runs sort-free. Measured at 80M rows: the rank stage's
+        # per-bucket sort disappears from the plan entirely.
+        df.repartition(n_buckets, F.col(bucket_key))
+        .write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, bucket_key)
         .sortBy(*sort_keys)
