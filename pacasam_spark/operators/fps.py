@@ -14,9 +14,10 @@ Spark design (deterministic at any parallelism):
    a pure function of the data, so results are identical on local[8],
    local[32], or 1000 executors.
 2. per-chunk quota = ceil(chunk_len * n / N) (reference: diversity.py:81-84).
-3. numpy greedy FPS per chunk via ``applyInPandas`` (Arrow-batched,
-   vectorized distance updates; start index 0 of the chunk order like the
-   reference, algos.py:114-115).
+3. numpy greedy FPS per chunk via the sorted-stream Arrow carver
+   (``carve_chunk_runs``: repartition on chunk id, JVM sort, one
+   ``mapInArrow`` pass — vectorized distance updates; start index 0 of
+   the chunk order like the reference, algos.py:114-115).
 4. final trim: order by (chunk_id, fps_rank) and take n — reproducing the
    reference's concat + iloc[:n].
 """
@@ -151,58 +152,90 @@ def _bucketed_rank_in_file(df: DataFrame, file_key: str, id_key: str) -> DataFra
     )
 
 
-def _make_chunk_carver(keep: list[str], feature_cols: list[str], proportion: float):
-    """Build the mapInArrow function: consume a partition's record-batch
-    stream (pre-sorted by (chunk, file, id)), slice it into per-chunk
-    runs, and run greedy FPS on each completed run.
+def _make_run_carver(process, chunk_col: str = CHUNK_ID):
+    """Build a mapInArrow function that slices a partition's record-batch
+    stream (pre-sorted on ``chunk_col``) into contiguous per-chunk runs
+    and yields ``process(run_table)`` for each completed run.
 
-    Only the feature columns are materialized as numpy (zero-copy for
-    non-null numerics); keep-columns ride along as Arrow slices and are
-    gathered with ``take`` for the selected rows only.
+    Peak Python memory is one chunk, not one partition: runs flush as
+    soon as the next chunk id appears in the stream.
     """
     import pyarrow as pa
 
     def carve(batches):
         pending: list[pa.Table] = []  # slices of the current chunk
 
-        def flush():
-            tbl = pa.concat_tables(pending)
-            feats = np.column_stack(
-                [
-                    tbl.column(c).to_numpy(zero_copy_only=False)
-                    for c in feature_cols
-                ]
-            )
-            quota = math.ceil(len(tbl) * proportion)
-            idx = fps_numpy(feats, quota)
-            out = tbl.select(keep + [CHUNK_ID]).take(pa.array(idx, type=pa.int64()))
-            return out.append_column(
-                FPS_RANK, pa.array(np.arange(len(idx), dtype="int32"))
-            )
-
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             tbl = pa.Table.from_batches([batch])
-            chunk_ids = tbl.column(CHUNK_ID).to_numpy(zero_copy_only=False)
+            chunk_ids = tbl.column(chunk_col).to_numpy(zero_copy_only=False)
             # run boundaries within this (sorted) batch
             cuts = np.flatnonzero(np.diff(chunk_ids)) + 1
             starts = np.concatenate(([0], cuts))
             ends = np.concatenate((cuts, [len(chunk_ids)]))
             for s, e in zip(starts, ends):
                 piece = tbl.slice(s, e - s)
-                if pending and pending[0].column(CHUNK_ID)[0].as_py() != chunk_ids[s]:
-                    out = flush()
+                if pending and pending[0].column(chunk_col)[0].as_py() != chunk_ids[s]:
+                    out = process(pa.concat_tables(pending))
                     pending.clear()
                     for ob in out.to_batches():
                         yield ob
                 pending.append(piece)
         if pending:
-            out = flush()
+            out = process(pa.concat_tables(pending))
             for ob in out.to_batches():
                 yield ob
 
     return carve
+
+
+def carve_chunk_runs(
+    df: DataFrame,
+    process,
+    out_schema: str,
+    sort_keys: tuple[str, ...],
+    chunk_col: str = CHUNK_ID,
+) -> DataFrame:
+    """Apply ``process(pa.Table) -> pa.Table`` to every chunk of ``df``.
+
+    Execution shape: hash-repartition on the chunk id (each chunk lands
+    whole in one partition), JVM-sort the partition by
+    (chunk, *sort_keys), then carve chunk runs out of the sorted Arrow
+    stream in Python. This replaces groupBy(chunk).applyInPandas:
+    Spark's grouped-map runner frames one group per Arrow batch and,
+    measured on an 80M-row catalogue at local[16], spends 17x the wall
+    time of a plain mapInArrow pass over the same bytes (122 s vs 7 s)
+    before the UDF does any work. mapInArrow over sorted-within-
+    partition runs moves the identical rows at streaming cost, numpy
+    views the value buffers zero-copy, and per-chunk pandas sorts
+    disappear (the JVM sort already ordered every run).
+    """
+    return (
+        df.repartition(F.col(chunk_col))
+        .sortWithinPartitions(chunk_col, *sort_keys)
+        .mapInArrow(_make_run_carver(process, chunk_col), out_schema)
+    )
+
+
+def _make_fps_process(keep: list[str], feature_cols: list[str], proportion: float):
+    """Per-chunk FPS: rows arrive pre-sorted by (file, id); only the
+    feature columns are materialized as numpy, and keep-columns are
+    gathered with ``take`` for the selected rows only."""
+    import pyarrow as pa
+
+    def process(tbl):
+        feats = np.column_stack(
+            [tbl.column(c).to_numpy(zero_copy_only=False) for c in feature_cols]
+        )
+        quota = math.ceil(len(tbl) * proportion)
+        idx = fps_numpy(feats, quota)
+        out = tbl.select(keep + [CHUNK_ID]).take(pa.array(idx, type=pa.int64()))
+        return out.append_column(
+            FPS_RANK, pa.array(np.arange(len(idx), dtype="int32"))
+        )
+
+    return process
 
 
 def fps_sample(
@@ -240,25 +273,11 @@ def fps_sample(
         + [f"{CHUNK_ID} long", f"{FPS_RANK} int"]
     )
 
-    # Execution shape: hash-repartition on chunk id (each chunk lands
-    # whole in one partition), JVM-sort the partition by
-    # (chunk, file, id), then carve chunk runs out of the sorted Arrow
-    # stream in Python. This replaces groupBy(CHUNK_ID).applyInPandas:
-    # Spark's grouped-map runner frames one group per Arrow batch and,
-    # measured on an 80M-row catalogue at local[16], spends 17x the
-    # wall time of a plain mapInArrow pass over the same bytes (122 s
-    # vs 7 s) before the UDF does any work. mapInArrow over
-    # sorted-within-partition runs moves the identical rows at
-    # streaming cost, numpy views the feature buffers zero-copy, and
-    # the per-chunk pandas sort_values disappears (the JVM sort
-    # already ordered every run by (file_id, patch_id)).
-    selected = (
-        chunked.repartition(F.col(CHUNK_ID))
-        .sortWithinPartitions(CHUNK_ID, file_key, id_key)
-        .mapInArrow(
-            _make_chunk_carver(keep, feature_cols, proportion),
-            out_schema,
-        )
+    selected = carve_chunk_runs(
+        chunked,
+        _make_fps_process(keep, feature_cols, proportion),
+        out_schema,
+        sort_keys=(file_key, id_key),
     )
 
     # Reference trim semantics: concat chunk outputs in chunk order, keep
