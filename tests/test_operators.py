@@ -204,6 +204,42 @@ def test_fps_numpy_maxmin_property():
     assert any(p[0] >= 10.0 and p[0] < 100 for p in picked)
 
 
+def test_run_carver_slices_chunks_across_batches():
+    """_make_run_carver must call ``process`` exactly once per chunk id
+    even when a chunk's rows span several Arrow batches, and must skip
+    empty batches. Pure-Python: no Spark session involved."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pacasam_spark.operators.fps import _make_run_carver
+
+    seen: list[tuple[int, int]] = []  # (chunk_id, rows handed to process)
+
+    def process(tbl: pa.Table) -> pa.Table:
+        cid = tbl.column("c")[0].as_py()
+        assert all(v.as_py() == cid for v in tbl.column("c"))  # one chunk only
+        seen.append((cid, len(tbl)))
+        return tbl.select(["c"])
+
+    def batch(chunks):
+        return pa.record_batch(
+            [pa.array(chunks, type=pa.int64()), pa.array(range(len(chunks)))],
+            names=["c", "v"],
+        )
+
+    batches = [
+        batch([0, 0, 1]),          # chunk 0 complete, chunk 1 opens
+        pa.record_batch([pa.array([], pa.int64()), pa.array([], pa.int64())],
+                        names=["c", "v"]),  # empty batch: ignored
+        batch([1, 1]),             # chunk 1 continues across batches
+        batch([2]),                # closes 1, opens 2
+    ]
+    out = list(_make_run_carver(process, "c")(iter(batches)))
+    assert seen == [(0, 2), (1, 3), (2, 1)]
+    got = np.concatenate([b.column(0).to_numpy() for b in out])
+    assert got.tolist() == [0, 0, 1, 1, 1, 2]
+
+
 def test_fps_sample_spark_deterministic(catalogue):
     sel1 = sorted(
         r[S.PATCH_ID]
