@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pacasam_spark import schemas as S
 
 CHUNK_ID = "__chunk_id"
+GLOBAL_RANK = "__global_rank"
 FPS_RANK = "__fps_rank"
 
 
@@ -84,9 +85,14 @@ def add_deterministic_chunk_ids(
     order_keys: tuple[str, str] = (S.FILE_ID, S.PATCH_ID),
     counts: DataFrame | None = None,
     skew_threshold: int = SKEW_THRESHOLD_ROWS,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Assign chunk ids = floor(global_rank / max_chunk_size) under the
     (file_id, patch_id) total order, without a global window.
+    With ``keep_rank`` the 0-based global rank itself is kept as
+    ``GLOBAL_RANK`` — a single long whose order IS the
+    (file_id, patch_id) total order, so downstream sorts can use it
+    instead of the multi-column (string-comparing) key.
 
     The per-file offsets come from a window over the DISTINCT-file count
     table (thousands of rows for billions of patches) which is then
@@ -119,14 +125,15 @@ def add_deterministic_chunk_ids(
     else:
         w_in_file = Window.partitionBy(file_key).orderBy(id_key)
         rank_in_file = df.withColumn("__rif", F.row_number().over(w_in_file))
-    return (
+    ranked = (
         rank_in_file.join(F.broadcast(offsets), on=file_key)
+        .withColumn(GLOBAL_RANK, F.col("__offset") + F.col("__rif") - 1)
         .withColumn(
-            CHUNK_ID,
-            ((F.col("__offset") + F.col("__rif") - 1) / max_chunk_size).cast("long"),
+            CHUNK_ID, (F.col(GLOBAL_RANK) / max_chunk_size).cast("long")
         )
         .drop("__offset", "__rif")
     )
+    return ranked if keep_rank else ranked.drop(GLOBAL_RANK)
 
 
 def _bucketed_rank_in_file(df: DataFrame, file_key: str, id_key: str) -> DataFrame:
@@ -264,8 +271,15 @@ def fps_sample(
         ).limit(0)
     proportion = num_to_sample / total
 
-    chunked = add_deterministic_chunk_ids(df, max_chunk_size, order_keys, counts=counts)
-    cols = list(dict.fromkeys(keep + feature_cols + [CHUNK_ID, id_key, file_key]))
+    chunked = add_deterministic_chunk_ids(
+        df, max_chunk_size, order_keys, counts=counts, keep_rank=True
+    )
+    # GLOBAL_RANK replaces (file_key, id_key) as the sort key: one long
+    # whose order is exactly the (file, id) total order, so the carve
+    # stage's sort is pure 8-byte-prefix comparisons — the 3-column key
+    # made every within-chunk comparison (all 20k rows of a chunk tie on
+    # the chunk prefix) fall through to the slow string comparator.
+    cols = list(dict.fromkeys(keep + feature_cols + [CHUNK_ID, GLOBAL_RANK]))
     chunked = chunked.select(*cols)
 
     out_schema = ", ".join(
@@ -277,7 +291,7 @@ def fps_sample(
         chunked,
         _make_fps_process(keep, feature_cols, proportion),
         out_schema,
-        sort_keys=(file_key, id_key),
+        sort_keys=(GLOBAL_RANK,),
     )
 
     # Reference trim semantics: concat chunk outputs in chunk order, keep
