@@ -104,6 +104,11 @@ for wq in (7, 13):
     wcfg = dict(cfg); wcfg["target_total_num_patches"] = max(100, target // wq)
     DiversitySampler(spark.read.parquet(path), wcfg, seed=1).get_patches().count()
     spark.catalog.clearCache()
+    # release the warm-up's shuffle files NOW: ContextCleaner only
+    # deletes them when the JVM GCs the dependency objects, and two
+    # warm-ups + the measured run in one process can otherwise hold
+    # ~3 jobs x ~24 GB of shuffle on disk simultaneously
+    spark.sparkContext._jvm.System.gc()
 
 t0 = time.perf_counter()
 sel = DiversitySampler(spark.read.parquet(path), dict(cfg), seed=42).get_patches()
@@ -156,6 +161,11 @@ for wq in (7, 13):
     wcfg = dict(cfg); wcfg["target_total_num_patches"] = max(100, target // wq)
     DiversitySampler(spark.table("scaling_cat"), wcfg, seed=1).get_patches().count()
     spark.catalog.clearCache()
+    # release the warm-up's shuffle files NOW: ContextCleaner only
+    # deletes them when the JVM GCs the dependency objects, and two
+    # warm-ups + the measured run in one process can otherwise hold
+    # ~3 jobs x ~24 GB of shuffle on disk simultaneously
+    spark.sparkContext._jvm.System.gc()
 
 t0 = time.perf_counter()
 sel = DiversitySampler(spark.table("scaling_cat"), dict(cfg), seed=42).get_patches()
