@@ -554,38 +554,21 @@ select doc_id from r where rn = 1
 """
 
 
-def q21_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash band signatures (3-gram shingles, 4 salted-md5 bands)."""
-    from pacasam_spark.operators.dedup import minhash_signatures
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return minhash_signatures(docs, bands=4)
-
-
-Q21_SQL = f"""
-with words as (
-  select doc_id, {_DDB_WORDS} as w from documents where doc_id < 100
-),
-sh as (
-  select distinct doc_id, array_to_string(list_slice(w, i, i + 2), ' ') as shingle
-  from words, unnest(range(1, greatest(len(w) - 1, 1))) as t(i)
-),
-banded as (
-  select doc_id, b.band, shingle
-  from sh, unnest([0, 1, 2, 3]) as b(band)
-)
-select doc_id, band, min(md5(concat(shingle, '#', band))) as sig
-from banded group by doc_id, band
-"""
-
-
 def q22_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (>=2 of 4 shared bands) over
-    the duplicated corpus — every (d, d+shift) pair must collide."""
+    the duplicated corpus — every (d, d+shift) pair must collide. The
+    degenerate-bucket cap is passed explicitly and mirrored in the
+    oracle's ``kept`` CTE (same fix as q52's, round-5 verdict #2)."""
     from pacasam_spark.operators.dedup import lsh_near_dup_pairs
 
-    return lsh_near_dup_pairs(_dup_corpus(spark, sf_dir, limit=100))
+    return lsh_near_dup_pairs(
+        _dup_corpus(spark, sf_dir, limit=100), max_bucket_size=Q22_BUCKET_CAP
+    )
 
+
+# Mirrored on both sides so a corpus that pushes one (band, sig) bucket
+# past the cap fails the gate loudly instead of silently diverging.
+Q22_BUCKET_CAP = 10000
 
 Q22_SQL = f"""
 with corpus as ({_DUP_SQL.format(where='where doc_id < 100')}),
@@ -600,20 +583,20 @@ banded as (
 sigs as (
   select doc_id, band, min(md5(concat(shingle, '#', band))) as sig
   from banded group by doc_id, band
+),
+kept as (
+  select band, sig from sigs
+  group by band, sig having count(*) <= {Q22_BUCKET_CAP}
+),
+bounded as (
+  select sigs.* from sigs
+  join kept on sigs.band = kept.band and sigs.sig = kept.sig
 )
 select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_shared_bands
-from sigs a join sigs b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id
+from bounded a
+join bounded b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id
 group by 1, 2 having count(*) >= 2
 """
-
-
-def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures from per-word md5 bits (two bits per hex
-    digit; bit 63 enters as the two's-complement sign term)."""
-    from pacasam_spark.operators.dedup import simhash64
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash64(docs)
 
 
 _DDB_HEX_HIGH = "('8','9','a','b','c','d','e','f')"
@@ -638,51 +621,6 @@ def _ddb_simhash_val() -> str:
         f"(case when b{j} > 0 then {1 << j} else 0 end)" for j in range(63)
     )
     return f"{val} + (case when b63 > 0 then (-9223372036854775807 - 1) else 0 end)"
-
-
-def _q23_sql() -> str:
-    return f"""
-with tokens as (
-  select distinct doc_id, t.w from
-    (select doc_id, {_DDB_WORDS} as ws from documents where doc_id < 200),
-    unnest(ws) as t(w)
-),
-hashed as (select doc_id, md5(w) as h from tokens),
-bits as (select doc_id, {_ddb_simhash_bits()} from hashed group by doc_id)
-select doc_id, cast({_ddb_simhash_val()} as bigint) as simhash from bits
-"""
-
-
-Q23_SQL = _q23_sql()
-
-
-def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs >= 0.4 over the duplicated corpus."""
-    from pacasam_spark.operators.dedup import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(_dup_corpus(spark, sf_dir, limit=100), threshold=0.4)
-
-
-Q24_SQL = f"""
-with corpus as ({_DUP_SQL.format(where='where doc_id < 100')}),
-words as (select doc_id, {_DDB_WORDS} as w from corpus),
-sh as (
-  select distinct doc_id, array_to_string(list_slice(w, i, i + 2), ' ') as shingle
-  from words, unnest(range(1, greatest(len(w) - 1, 1))) as t(i)
-),
-sizes as (select doc_id, count(*) as sz from sh group by doc_id),
-inter as (
-  select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter
-  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
-  group by 1, 2
-)
-select id_a, id_b, inter, sa.sz as sz_a, sb.sz as sz_b,
-       inter / (sa.sz + sb.sz - inter) as jaccard
-from inter
-join sizes sa on sa.doc_id = id_a
-join sizes sb on sb.doc_id = id_b
-where inter / (sa.sz + sb.sz - inter) >= 0.4
-"""
 
 
 def q25_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,12 +1350,20 @@ def q48_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = hamming_near_dup_pairs(
-        corpus, hash_col="phash", id_col="doc_id", max_distance=7
+        corpus,
+        hash_col="phash",
+        id_col="doc_id",
+        max_distance=7,
+        max_bucket_size=Q48_BUCKET_CAP,
     )
     return pairs.withColumn("hamming", F.col("hamming").cast("long"))
 
 
-Q48_SQL = """
+# Mirrored on both sides (same fix as q52's/q22's): a corpus pushing one
+# (band, band_val) bucket past the cap fails the gate loudly.
+Q48_BUCKET_CAP = 10000
+
+Q48_SQL = f"""
 with base as (
   select doc_id, cast(concat('0x', substr(md5(text), 1, 15)) as bigint) as phash
   from documents where doc_id < 250
@@ -1431,9 +1377,17 @@ banded as (
   select doc_id, phash, b.band, (phash >> (b.band * 8)) & 255 as band_val
   from corpus, unnest([0, 1, 2, 3, 4, 5, 6, 7]) as b(band)
 ),
+kept as (
+  select band, band_val from banded
+  group by band, band_val having count(*) <= {Q48_BUCKET_CAP}
+),
+bounded as (
+  select banded.* from banded
+  join kept on banded.band = kept.band and banded.band_val = kept.band_val
+),
 cand as (
   select distinct a.doc_id as id_a, a.phash as ha, b.doc_id as id_b, b.phash as hb
-  from banded a join banded b
+  from bounded a join bounded b
     on a.band = b.band and a.band_val = b.band_val and a.doc_id < b.doc_id
 )
 select id_a, id_b, cast(bit_count(xor(ha, hb)) as bigint) as hamming
