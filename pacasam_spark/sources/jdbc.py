@@ -67,15 +67,23 @@ def rewrite_samba_paths(df: DataFrame, column: str = "file_path") -> DataFrame:
     )
 
 
+def _trunc_div(a: int, n: int) -> int:
+    """Integer division truncating toward zero — Scala/Java ``Long``
+    division, NOT Python's floor division (they differ for negative
+    operands: -100 / 3 is -33 in Scala, -34 under Python ``//``)."""
+    return a // n if (a >= 0) == (n >= 0) else -((-a) // n)
+
+
 def partition_ranges(
     lower_bound: int, upper_bound: int, num_partitions: int
 ) -> list[tuple[int | None, int | None]]:
     """The [start, end) ranges a partitioned JDBC read generates — the
     same arithmetic as Spark's JDBCRelation.columnPartition: stride =
-    upper // n - lower // n (each bound integer-divided BEFORE the
-    subtraction), partition 0 is open below (and picks up NULLs), the
-    last is open above, interior partitions are half-open [start,
-    start + stride). Open ends are None.
+    upper / n - lower / n (each bound integer-divided BEFORE the
+    subtraction, with Scala's truncate-toward-zero division so negative
+    lower bounds mirror Spark exactly), partition 0 is open below (and
+    picks up NULLs), the last is open above, interior partitions are
+    half-open [start, start + stride). Open ends are None.
 
     Exposed so the partition layout is testable and inspectable WITHOUT
     a database connection (no driver jar ships in this container): the
@@ -93,7 +101,7 @@ def partition_ranges(
     n = min(num_partitions, max(upper_bound - lower_bound, 1))
     if n <= 1:
         return [(None, None)]
-    stride = upper_bound // n - lower_bound // n
+    stride = _trunc_div(upper_bound, n) - _trunc_div(lower_bound, n)
     ranges: list[tuple[int | None, int | None]] = []
     current = lower_bound + stride
     ranges.append((None, current))  # col < current OR col IS NULL

@@ -3,16 +3,20 @@ streaming/events.py and sources/snapshots.py (round-4 verdict #4).
 
 ``foreachBatch`` hands the sink each micro-batch as a static DataFrame
 plus a monotonically increasing ``batch_id``. Each NON-EMPTY batch
-commits as one snapshot version, with the batch_id stored in the
-manifest metadata. That makes the sink idempotent under Spark's
+commits as one snapshot version, with ``(query_id, batch_id)`` stored
+in the manifest metadata. That makes the sink idempotent under Spark's
 recovery contract: after a crash between the snapshot commit and the
 streaming checkpoint advance, the restarted query REPLAYS the last
-batch with the SAME batch_id — the sink sees the id already committed
-and skips, so no duplicate version is ever written. (Spark guarantees
-batch_id stability across restarts; it does not guarantee the batch
-runs once — exactly-once must come from the sink, and here it comes
-from the manifest, exactly how Iceberg/Delta streaming sinks dedupe on
-(queryId, batchId) in the commit metadata.)
+batch with the SAME (query_id, batch_id) — the sink sees the pair
+already committed and skips, so no duplicate version is ever written.
+The query id matters: a DIFFERENT query appending to the same table
+(fresh checkpoint dir) restarts batch ids at 0, so batch_id alone
+would collide with committed versions and silently drop its batches.
+(Spark guarantees batch_id stability across restarts of one
+checkpoint; it does not guarantee the batch runs once — exactly-once
+must come from the sink, and here it comes from the manifest, exactly
+how Iceberg/Delta streaming sinks dedupe on (queryId, batchId) in the
+commit metadata.)
 
 Driver-side cost per batch: listing the committed manifests (small
 JSONs) — independent of data size; the data path is one distributed
@@ -31,33 +35,92 @@ from pyspark.sql import DataFrame, SparkSession
 from pacasam_spark.sources.snapshots import snapshots, write_snapshot
 
 
-def committed_batch_ids(table_dir: str) -> set[int]:
-    """batch_ids already committed to the snapshot table (from manifest
-    metadata) — the sink's replay-dedup set."""
-    out = set()
+def committed_stream_commits(table_dir: str) -> set[tuple[str | None, int]]:
+    """(query_id, batch_id) pairs already committed to the snapshot table
+    (from manifest metadata) — the sink's replay-dedup set. Manifests
+    written before query ids were recorded carry ``(None, batch_id)``."""
+    out: set[tuple[str | None, int]] = set()
     for m in snapshots(table_dir):
-        b = m.get("metadata", {}).get("batch_id")
+        meta = m.get("metadata", {})
+        b = meta.get("batch_id")
         if b is not None:
-            out.add(int(b))
+            out.add((meta.get("query_id"), int(b)))
     return out
 
 
-def snapshot_batch_writer(table_dir: str, metadata: dict | None = None):
+def _checkpoint_query_id(spark: SparkSession, checkpoint_dir: str) -> str | None:
+    """The streaming query id persisted in ``<checkpoint>/metadata`` —
+    written by StreamExecution at query start (before batch 0), stable
+    across restarts of the same checkpoint. Read through the session so
+    any Hadoop-visible filesystem works, not just the local one."""
+    import json
+
+    try:
+        line = spark.read.text(checkpoint_dir.rstrip("/") + "/metadata").first()
+    except Exception:
+        return None
+    if line is None:
+        return None
+    try:
+        return json.loads(line["value"]).get("id")
+    except (ValueError, KeyError):
+        return None
+
+
+def snapshot_batch_writer(
+    table_dir: str,
+    metadata: dict | None = None,
+    query_id: str | None = None,
+    checkpoint_dir: str | None = None,
+):
     """A ``foreachBatch`` function committing each non-empty micro-batch
     as one snapshot version of ``table_dir``. Empty batches (e.g. the
     no-data batch that flushes append-mode windows after the watermark
-    advances) commit nothing; a replayed batch_id commits nothing."""
+    advances) commit nothing; a replayed batch commits nothing.
+
+    Replay dedupe is on the Iceberg/Delta key ``(query_id, batch_id)`` —
+    batch_id alone is NOT a dedupe key, because a different streaming
+    query (fresh checkpoint dir, or a second query appending to the same
+    table) restarts batch ids at 0 and would silently collide with
+    already-committed versions. The query id comes from ``query_id`` if
+    given, else is read once from ``<checkpoint_dir>/metadata`` (written
+    by Spark at query start, stable across restarts). With neither, the
+    sink falls back to batch_id-only dedupe — correct only while one
+    checkpoint dir ever writes the table (documented legacy mode; also
+    how pre-query-id manifests, stored as ``(None, batch_id)``, are
+    treated: assumed to belong to the resuming stream).
+
+    The committed set is read from disk ONCE per query and cached in the
+    closure (the sink is single-writer by design) — a long-running
+    stream stays O(1) manifest reads per batch instead of O(versions).
+    """
+    state: dict = {"committed": None, "query_id": query_id}
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_batch_ids(table_dir):
+        bid = int(batch_id)
+        if state["committed"] is None:
+            state["committed"] = committed_stream_commits(table_dir)
+        if state["query_id"] is None and checkpoint_dir is not None:
+            state["query_id"] = _checkpoint_query_id(
+                df.sparkSession, checkpoint_dir
+            )
+        qid = state["query_id"]
+        if (qid, bid) in state["committed"]:
             return  # crash-recovery replay: version already committed
+        if qid is not None and (None, bid) in state["committed"]:
+            return  # pre-query-id manifest: same-stream resume (legacy)
+        if qid is None and any(b == bid for _q, b in state["committed"]):
+            return  # no query identity available: conservative dedupe
         # isEmpty is a limit-1 job — cheap, and the empty no-data batch
         # after watermark advance must not burn a version
         if df.isEmpty():
             return
         meta = dict(metadata or {})
-        meta["batch_id"] = batch_id
+        meta["batch_id"] = bid
+        if qid is not None:
+            meta["query_id"] = qid
         write_snapshot(df, table_dir, meta)
+        state["committed"].add((qid, bid))
 
     return write_batch
 
@@ -99,7 +162,9 @@ def sessions_to_snapshots(
     )
     q = (
         sessions.writeStream.outputMode("append")
-        .foreachBatch(snapshot_batch_writer(table_dir))
+        .foreachBatch(
+            snapshot_batch_writer(table_dir, checkpoint_dir=checkpoint_dir)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

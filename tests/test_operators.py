@@ -375,6 +375,48 @@ def test_lsh_guard_surfaces_dropped_buckets(spark):
     assert none_dropped.count() == 0
 
 
+def test_ngram_jaccard_pairs_match_brute_force(spark):
+    """Exact 3-gram Jaccard pairs == python-set Jaccard over the same
+    corpus (round-5 verdict #4: the operator lost its q24 driver gate
+    when the registry was consolidated; this is its direct gate now).
+    Near-dup copies (one word appended) plant true pairs; docs shorter
+    than the shingle order contribute no shingles and so no pairs."""
+    from pacasam_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    corpus = base.unionByName(
+        base.select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+        )
+    ).unionByName(
+        spark.createDataFrame([(2000, "too short")], "doc_id long, text string")
+    )
+
+    def shingles(text: str, n: int = 3) -> set[str]:
+        w = [t for t in text.split(" ") if t]
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    docs = {r["doc_id"]: shingles(r["text"]) for r in corpus.collect()}
+    ids = sorted(docs)
+    brute = sorted(
+        (a, b, len(docs[a] & docs[b]), len(docs[a]), len(docs[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if docs[a] & docs[b]
+        and len(docs[a] & docs[b]) / len(docs[a] | docs[b]) >= 0.3
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["inter"], r["sz_a"], r["sz_b"])
+        for r in ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+    )
+    assert got == brute and len(got) >= 40  # every planted near-dup pair
+
+
 def test_stratified_auto_salt_detects_hot_stratum(spark, monkeypatch):
     """salt='auto' must take the salted path exactly when the largest
     stratum exceeds salt_threshold — with output identical to salt=0."""

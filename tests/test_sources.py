@@ -102,3 +102,14 @@ def test_jdbc_partition_ranges_exhaustive_and_disjoint():
         partition_ranges(0, 10, 0)
     with _pytest.raises(ValueError):
         partition_ranges(10, 0, 4)
+
+    # Negative lower bound pinned to Spark's actual boundaries (r5 ADVICE):
+    # JDBCRelation.columnPartition uses Scala Long division (truncate
+    # toward zero), so stride(-100, 100, 3) = 100/3 - (-100)/3 = 66 and
+    # the boundaries are -34 / 32 — python floor division would give
+    # -33 / 34.
+    assert partition_ranges(-100, 100, 3) == [
+        (None, -34),
+        (-34, 32),
+        (32, None),
+    ]

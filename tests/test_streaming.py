@@ -210,7 +210,7 @@ def test_snapshot_sink_one_version_per_batch_and_resume(spark, tmp_path):
     checkpoint re-reads nothing, and read_snapshot time-travels."""
     from pacasam_spark.sources.snapshots import read_snapshot, snapshots
     from pacasam_spark.streaming.snapshot_sink import (
-        committed_batch_ids,
+        committed_stream_commits,
         sessions_to_snapshots,
         snapshot_batch_writer,
     )
@@ -235,21 +235,40 @@ def test_snapshot_sink_one_version_per_batch_and_resume(spark, tmp_path):
     n = sessions_to_snapshots(spark, f"{d}/*.parquet", tbl, ckpt, gap="30 minutes")
     hist = snapshots(tbl)
     assert n == len(hist) >= 1
-    # every committed version carries its batch_id; ids are unique
+    # every committed version carries its batch_id AND the query id read
+    # from the checkpoint (the Iceberg (queryId, batchId) dedupe key);
+    # ids are unique, the query id is one stable uuid
     ids = [m["metadata"]["batch_id"] for m in hist]
     assert len(set(ids)) == len(ids)
+    qids = {m["metadata"].get("query_id") for m in hist}
+    assert len(qids) == 1 and None not in qids
     # all finalized sessions across versions == the two early sessions
     total = sum(m["row_count"] for m in hist)
     assert total == 2  # user 1 (2 events) + user 2 (1 event)
     v1 = read_snapshot(spark, tbl, version=hist[0]["version"])
     assert v1.count() == hist[0]["row_count"]
 
-    # replayed batch_id (sink called again with an already-committed id)
-    # commits nothing
-    writer = snapshot_batch_writer(tbl)
+    # replayed (query_id, batch_id) — same query crash-replaying an
+    # already-committed batch — commits nothing
+    qid = next(iter(qids))
+    writer = snapshot_batch_writer(tbl, query_id=qid)
     writer(spark.range(3).selectExpr("id as user_id"), ids[0])
     assert len(snapshots(tbl)) == len(hist)
-    assert committed_batch_ids(tbl) == set(ids)
+    # legacy mode (no query identity at all) also dedupes on batch_id
+    snapshot_batch_writer(tbl)(spark.range(3).selectExpr("id as user_id"), ids[0])
+    assert len(snapshots(tbl)) == len(hist)
+    assert committed_stream_commits(tbl) == {(qid, b) for b in ids}
+
+    # a DIFFERENT query (fresh checkpoint => batch ids restart at 0) is
+    # NOT a replay: its batch 0 must commit, not be silently skipped
+    other = snapshot_batch_writer(tbl, query_id="other-query-uuid")
+    other(spark.range(2).selectExpr("id as user_id"), ids[0])
+    assert len(snapshots(tbl)) == len(hist) + 1
+    # and the cached committed set dedupes ITS OWN replay without
+    # re-reading manifests (single-writer closure cache)
+    other(spark.range(2).selectExpr("id as user_id"), ids[0])
+    assert len(snapshots(tbl)) == len(hist) + 1
+    hist = snapshots(tbl)
 
     # resume with the same checkpoint and no new input: no new versions
     n2 = sessions_to_snapshots(spark, f"{d}/*.parquet", tbl, ckpt)
