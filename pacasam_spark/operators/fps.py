@@ -252,17 +252,28 @@ def fps_sample(
     max_chunk_size: int = 5000,
     order_keys: tuple[str, str] = (S.FILE_ID, S.PATCH_ID),
     keep_cols: list[str] | None = None,
+    counts: DataFrame | None = None,
+    skew_threshold: int = SKEW_THRESHOLD_ROWS,
 ) -> DataFrame:
     """M4: chunked FPS selection of ``num_to_sample`` rows.
 
     Returns keep_cols (default [patch_id, file_id]) + CHUNK_ID + FPS_RANK,
     trimmed to the global quota.
-    """
+
+    ``counts``: a precomputed ``(file_key, count)`` table. Callers that
+    already aggregated the catalogue (normalize's fused
+    ``file_counts_key`` pass) hand it in so this function adds NO extra
+    full-data scan; otherwise one ``groupBy(file).count()`` pass runs
+    here. ``skew_threshold`` is forwarded to the hot-file rank guard
+    (parameterized so tests can force the bucketed-rank path on small
+    data)."""
     file_key, id_key = order_keys
     keep = keep_cols or [id_key, file_key]
-    # One pass computes the per-file counts; both the global total and the
-    # chunk offsets derive from the (tiny) counts table.
-    counts = df.groupBy(file_key).count().persist()
+    # Both the global total and the chunk offsets derive from the (tiny)
+    # counts table — computed here only if the caller didn't already pay
+    # for a per-file aggregation pass.
+    if counts is None:
+        counts = df.groupBy(file_key).count().persist()
     total_row = counts.agg(F.sum("count").alias("n")).first()
     total = int(total_row["n"] or 0)
     if total == 0:
@@ -272,7 +283,12 @@ def fps_sample(
     proportion = num_to_sample / total
 
     chunked = add_deterministic_chunk_ids(
-        df, max_chunk_size, order_keys, counts=counts, keep_rank=True
+        df,
+        max_chunk_size,
+        order_keys,
+        counts=counts,
+        skew_threshold=skew_threshold,
+        keep_rank=True,
     )
     # GLOBAL_RANK replaces (file_key, id_key) as the sort key: one long
     # whose order is exactly the (file, id) total order, so the carve

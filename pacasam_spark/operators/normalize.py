@@ -28,24 +28,12 @@ EPSILON = 1e-5  # reference: samplers/algos.py:14 (EPSILON = 10e-6)
 _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
 
 
-def standardize(df: DataFrame, columns: list[str], check_nan: bool = True) -> DataFrame:
-    """M1: zero-ignoring standardization with min-fill — ONE aggregation
-    pass over the data.
-
-    Order-independent statistics: float avg()/stddev() depend on partition
-    merge order (non-associative fp addition), which would make downstream
-    FPS selections vary with cluster size. Exact sums instead:
-
-    - integral columns: plain long sum (exact to ~10^12 rows of 32-bit
-      values) + DECIMAL(38,0) sum of exact long squares;
-    - float columns: DECIMAL(38,6) sums (slower but exact).
-
-    The NaN guard and the min-fill value ride the same pass: the transform
-    is monotonic, so min(normalized) == normalize(min(masked)).
-    """
-    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    masked = {c: F.nullif(F.col(c).cast("double"), F.lit(0.0)) for c in columns}
-
+def _stat_partial_aggs(types: dict, masked: dict, columns: list[str]) -> list:
+    """The per-column aggregation expressions of :func:`standardize` —
+    every one is decomposable (sum/count/min), so the same list serves
+    the single global agg AND the per-file grouped agg of the fused
+    pass (whose partials then merge exactly on the tiny per-file
+    table)."""
     aggs = []
     for c in columns:
         x = masked[c]
@@ -68,7 +56,71 @@ def standardize(df: DataFrame, columns: list[str], check_nan: bool = True) -> Da
                 F.sum(x.cast(dec)).alias(f"s_{c}"),
                 F.sum((x * x).cast(dec)).alias(f"ssq_{c}"),
             ]
-    stats = df.agg(*aggs).first()
+    return aggs
+
+
+def _stat_merge_aggs(columns: list[str]) -> list:
+    """Exact merge of per-file partials: counts/sums re-sum, mins re-min.
+    Long and decimal sums are exact, so the merged statistics are
+    bit-identical to the single-pass global aggregation — downstream FPS
+    selections (and their golden checksums) cannot move."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.sum(f"cnt_{c}").alias(f"cnt_{c}"),
+            F.min(f"min_{c}").alias(f"min_{c}"),
+            F.sum(f"nan_{c}").alias(f"nan_{c}"),
+            F.sum(f"s_{c}").alias(f"s_{c}"),
+            F.sum(f"ssq_{c}").alias(f"ssq_{c}"),
+        ]
+    return aggs
+
+
+def standardize(
+    df: DataFrame,
+    columns: list[str],
+    check_nan: bool = True,
+    file_counts_key: str | None = None,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """M1: zero-ignoring standardization with min-fill — ONE aggregation
+    pass over the data.
+
+    Order-independent statistics: float avg()/stddev() depend on partition
+    merge order (non-associative fp addition), which would make downstream
+    FPS selections vary with cluster size. Exact sums instead:
+
+    - integral columns: plain long sum (exact to ~10^12 rows of 32-bit
+      values) + DECIMAL(38,0) sum of exact long squares;
+    - float columns: DECIMAL(38,6) sums (slower but exact).
+
+    The NaN guard and the min-fill value ride the same pass: the transform
+    is monotonic, so min(normalized) == normalize(min(masked)).
+
+    With ``file_counts_key``, the pass is grouped by that column and
+    returns ``(normalized_df, counts_df)`` where ``counts_df`` is
+    ``(file_counts_key, count)`` — the per-file count table chunked FPS
+    needs. This FUSES the Diversity pipeline's two catalogue scans
+    (normalize stats + groupBy(file).count) into one: the grouped agg
+    is still a partial-agg map-side combine, its output is one row per
+    file (thousands for billions of patches), and the global statistics
+    are merged from those partials with exact arithmetic — bit-identical
+    results, one fewer full-data read (round-5 verdict: the stats agg is
+    the memory-bandwidth-bound stage that caps single-box scaling)."""
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    masked = {c: F.nullif(F.col(c).cast("double"), F.lit(0.0)) for c in columns}
+    aggs = _stat_partial_aggs(types, masked, columns)
+
+    counts = None
+    if file_counts_key is None:
+        stats = df.agg(*aggs).first()
+    else:
+        per_file = (
+            df.groupBy(file_counts_key)
+            .agg(F.count("*").alias("count"), *aggs)
+            .persist()
+        )
+        stats = per_file.agg(*_stat_merge_aggs(columns)).first()
+        counts = per_file.select(file_counts_key, "count")
 
     if check_nan:
         bad = [c for c in columns if stats[f"nan_{c}"]]
@@ -93,7 +145,7 @@ def standardize(df: DataFrame, columns: list[str], check_nan: bool = True) -> Da
             c,
             F.coalesce((masked[c] - F.lit(mean)) / F.lit(std + EPSILON), F.lit(fill)),
         )
-    return normed
+    return normed if counts is None else (normed, counts)
 
 
 def interp_expr(v, grid: list[float], refs: list[float]):
@@ -137,7 +189,8 @@ def quantile_transform(
     n_quantiles: int = 50,
     check_nan: bool = True,
     grids: dict[str, list[float]] | None = None,
-) -> DataFrame:
+    file_counts_key: str | None = None,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """M2: empirical-CDF transform to uniform [0,1], zero-ignoring, min-fill.
 
     Mirrors sklearn's QuantileTransformer grid+interp shape
@@ -147,6 +200,12 @@ def quantile_transform(
     PURE column expressions — whole-stage codegen, no Python hop, and
     ANSI-SQL expressible for the oracle (driver q42). Deterministic — no
     subsample cap needed at our scale (the reference caps at 100k rows).
+
+    With ``file_counts_key``, the min-fill pass is grouped by that column
+    and ``(normalized_df, counts_df)`` is returned — same fusion as
+    :func:`standardize`: the per-file count table chunked FPS needs rides
+    the aggregation this transform already pays for (min of per-file mins
+    is exact, so values are unchanged).
     """
     if check_nan:
         assert_no_nan(df, columns)
@@ -166,12 +225,23 @@ def quantile_transform(
         refs = list(np.linspace(0.0, 1.0, len(grid)))
         normed = normed.withColumn(c, interp_expr(masked[c], grid, refs))
 
-    mins_row = normed.agg(
-        *[F.min(c).alias(f"min_{c}") for c in columns]
-    ).first()
+    min_aggs = [F.min(c).alias(f"min_{c}") for c in columns]
+    counts = None
+    if file_counts_key is None:
+        mins_row = normed.agg(*min_aggs).first()
+    else:
+        per_file = (
+            normed.groupBy(file_counts_key)
+            .agg(F.count("*").alias("count"), *min_aggs)
+            .persist()
+        )
+        mins_row = per_file.agg(
+            *[F.min(f"min_{c}").alias(f"min_{c}") for c in columns]
+        ).first()
+        counts = per_file.select(file_counts_key, "count")
     for c in columns:
         fill = mins_row[f"min_{c}"]
         normed = normed.withColumn(
             c, F.coalesce(F.col(c), F.lit(0.0 if fill is None else float(fill)))
         )
-    return normed
+    return normed if counts is None else (normed, counts)

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pacasam_spark import schemas as S
 from pacasam_spark.operators.fps import (
     CHUNK_ID,
+    GLOBAL_RANK,
     add_deterministic_chunk_ids,
     carve_chunk_runs,
     fps_numpy,
@@ -60,11 +61,21 @@ def knn_outlier_scores(
     n_clusters: int = 8,
     max_chunk_size: int = 5000,
     keep_cols: list[str] | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
-    """Adds (cluster_id, outlier_score in [0,1]) per row, chunk-locally."""
+    """Adds (cluster_id, outlier_score in [0,1]) per row, chunk-locally.
+
+    ``counts``: precomputed (file_id, count) table — callers that fused a
+    per-file aggregation (normalize's ``file_counts_key``) hand it in so
+    chunk assignment adds no extra full-data scan. Within-chunk order is
+    the single-long GLOBAL_RANK — the same (file_id, patch_id) total
+    order FPS's carve stage uses (one order discipline, 8-byte sort-key
+    comparisons even when patch ids are strings)."""
     keep = keep_cols or [S.PATCH_ID, S.FILE_ID]
-    chunked = add_deterministic_chunk_ids(df, max_chunk_size)
-    cols = list(dict.fromkeys(keep + feature_cols + [CHUNK_ID]))
+    chunked = add_deterministic_chunk_ids(
+        df, max_chunk_size, counts=counts, keep_rank=True
+    )
+    cols = list(dict.fromkeys(keep + feature_cols + [CHUNK_ID, GLOBAL_RANK]))
     chunked = chunked.select(*cols)
 
     field_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -76,8 +87,9 @@ def knn_outlier_scores(
     import pyarrow as pa
 
     def process(tbl: "pa.Table") -> "pa.Table":
-        # rows arrive pre-sorted by keep[0] (the JVM partition sort);
-        # only the feature columns are materialized as numpy
+        # rows arrive pre-sorted by GLOBAL_RANK, i.e. the (file_id,
+        # patch_id) total order (the JVM partition sort); only the
+        # feature columns are materialized as numpy
         x = np.column_stack(
             [
                 tbl.column(c).to_numpy(zero_copy_only=False)
@@ -108,4 +120,4 @@ def knn_outlier_scores(
         out = out.append_column(OUTLIER_SCORE, pa.array(score.astype(float)))
         return out
 
-    return carve_chunk_runs(chunked, process, out_schema, sort_keys=(keep[0],))
+    return carve_chunk_runs(chunked, process, out_schema, sort_keys=(GLOBAL_RANK,))

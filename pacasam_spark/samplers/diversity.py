@@ -1,7 +1,14 @@
 """DiversitySampler (reference: samplers/diversity.py:10-100): normalize
 the class-histogram features, then chunked farthest-point sampling for
 even coverage of the feature space, chunks following the
-(file_id, patch_id) spatial order."""
+(file_id, patch_id) spatial order.
+
+The normalization statistics and FPS's per-file chunk counts ride ONE
+grouped aggregation (``file_counts_key=file_id``), so the whole pipeline
+reads the catalogue exactly twice: the fused stats/counts pass and the
+chunk-carve pass — the round-5 stage decomposition showed the stats agg
+is memory-bandwidth-bound, so removing the separate count scan shrinks
+exactly the fraction that caps single-box scaling."""
 
 from __future__ import annotations
 
@@ -22,14 +29,20 @@ class DiversitySampler(Sampler):
 
         db = self.db.select(S.PATCH_ID, S.FILE_ID, *cols)
         if dcf.get("normalization", "standardization") == "standardization":
-            db = standardize(db, cols)
+            db, counts = standardize(db, cols, file_counts_key=S.FILE_ID)
         else:
-            db = quantile_transform(db, cols, n_quantiles=dcf.get("n_quantiles", 50))
+            db, counts = quantile_transform(
+                db,
+                cols,
+                n_quantiles=dcf.get("n_quantiles", 50),
+                file_counts_key=S.FILE_ID,
+            )
 
         sel = fps_sample(
             db,
             num_to_sample,
             feature_cols=cols,
             max_chunk_size=dcf.get("max_chunk_size_for_fps", 5000),
+            counts=counts,
         ).select(S.PATCH_ID, S.FILE_ID)
         return self._finalize(sel, split_keys=S.FILE_ID)

@@ -27,13 +27,15 @@ class OutliersSampler(Sampler):
 
         db = self.db.select(S.PATCH_ID, S.FILE_ID, *cols)
         # always standardization: "the only one that gives good outliers"
-        # (reference: outliers.py:40-41)
-        db = standardize(db, cols)
+        # (reference: outliers.py:40-41); the per-file counts chunking
+        # needs ride the same fused aggregation pass
+        db, counts = standardize(db, cols, file_counts_key=S.FILE_ID)
         scored = knn_outlier_scores(
             db,
             cols,
             k=int(ocf.get("knn", 50)),
             max_chunk_size=int(ocf.get("max_chunk_size", 5000)),
+            counts=counts,
         )
         # deterministic top-k (TakeOrdered): tiebreak on patch_id
         sel = (

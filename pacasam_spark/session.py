@@ -84,8 +84,32 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_tiny_window_warnings(spark)
     _ship_package(spark)
     return spark
+
+
+def _quiet_tiny_window_warnings(spark: SparkSession) -> None:
+    """Raise the WindowExec logger to ERROR: the engine's unpartitioned
+    windows are all over PROVABLY tiny tables (per-file offsets over the
+    distinct-file table in fps.py, quota windows over <= targets-sized
+    tables in sampling.py/synthetic.py) — plan-gated in
+    tools/plan_checks.py and bounded by design, so the per-query
+    "Moving all data to a single partition" WARN is pure noise that was
+    drowning bench/driver log tails (round-5 verdict #8). Real
+    data-sized global windows are forbidden by design review + plan
+    checks, not by this log line."""
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        for cls in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window.WindowExecBase",
+        ):
+            configurator.setLevel(cls, level)
+    except Exception:
+        pass  # non-log4j2 deployments: keep the warnings
 
 
 def _ship_package(spark: SparkSession) -> None:

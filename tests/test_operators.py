@@ -337,6 +337,27 @@ def test_bucketed_rank_identical_chunk_ids(spark):
     assert a == b
 
 
+def test_fps_sample_identical_through_skew_guard(spark):
+    """End-to-end: fps_sample with the hot-file guard FORCED ON (one file
+    holds 90% of the rows, threshold lowered below it) selects the
+    IDENTICAL patches as the unsalted single-task-window path — the skew
+    guard is a physical-plan choice, never a result change."""
+    from pacasam_spark.operators.fps import fps_sample
+
+    df = spark.range(5000).select(
+        (F.col("id") * 37 % 99991).alias("patch_id"),
+        F.when(F.col("id") < 4500, "hot").otherwise("cold").alias(S.FILE_ID),
+        (F.col("id") % 97).cast("double").alias("f1"),
+        (F.col("id") % 31).cast("double").alias("f2"),
+    ).distinct()
+    kw = dict(feature_cols=["f1", "f2"], max_chunk_size=400)
+    plain = fps_sample(df, 200, skew_threshold=10**9, **kw)
+    guarded = fps_sample(df, 200, skew_threshold=1000, **kw)
+    a = sorted((r["patch_id"], r[S.FILE_ID]) for r in plain.collect())
+    b = sorted((r["patch_id"], r[S.FILE_ID]) for r in guarded.collect())
+    assert a == b and len(a) == 200
+
+
 def test_lsh_degenerate_bucket_guard(spark):
     """A signature bucket above max_bucket_size (boilerplate hotspot) is
     dropped before the self-join; genuine duplicate pairs survive."""

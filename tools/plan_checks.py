@@ -129,6 +129,32 @@ def main() -> int:
     )
     spark.sql("DROP TABLE IF EXISTS plan_check_bucketed")
 
+    # fused Diversity pipeline (round-6): normalize stats + per-file
+    # counts ride ONE grouped aggregation, so the end-to-end FPS plan
+    # reads the catalogue exactly twice — the fused stats/counts scan
+    # (cached; offsets window reuses it via InMemoryTableScan) and the
+    # main window->carve pass. A third scan = the fusion regressed.
+    from pacasam_spark.operators.fps import fps_sample
+    from pacasam_spark.operators.normalize import standardize
+
+    fp = "/tmp/plan_check_fused.parquet"
+    synthetic_catalogue(spark, db_size=5000).select(
+        "patch_id", "file_id", "nb_sol", "nb_bati"
+    ).write.mode("overwrite").parquet(fp)
+    cat = spark.read.parquet(fp)
+    normed, counts = standardize(cat, ["nb_sol", "nb_bati"], file_counts_key="file_id")
+    p = plan_of(fps_sample(normed, 100, ["nb_sol", "nb_bati"], counts=counts))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    ok &= check(
+        "fused diversity: two catalogue scans",
+        n_scans <= 2,
+        f"{n_scans} parquet scan nodes",
+    )
+    ok &= check(
+        "fused diversity: counts reused from cache",
+        "InMemoryTableScan" in p,
+    )
+
     # large-n random sample: the distributed trim must not TakeOrdered n
     from pacasam_spark.operators.sampling import sample_randomly
 
