@@ -25,13 +25,17 @@ Config YAML (all optional, CLI flags override):
     enabled: true
     min_words: 50           # any gopher_quality_flags kwarg
   dedup:
-    method: minhash         # exact | minhash | simhash | phash | none
+    method: minhash         # exact | minhash | simhash | phash | cosine | none
     jaccard_threshold: 0.7  # minhash verify; null = cluster raw LSH
     bands: 4
     min_shared_bands: 2
     max_bucket_size: 10000
     max_distance: 3         # simhash Hamming budget (7 for phash)
     hash_col: phash         # phash method: the int64 fingerprint column
+    threshold: 0.9          # cosine method: min cosine similarity
+    vec_col: embedding      # cosine method: the array<float> column
+    emb_id_col: doc_id      # cosine method: id column of --embeddings
+    dim: 64                 # cosine method: embedding dimensionality
 """
 
 from __future__ import annotations
@@ -46,7 +50,7 @@ from pyspark.sql import DataFrame
 from pacasam_spark.config import load_sampling_config
 from pacasam_spark.session import get_spark
 
-DEDUP_METHODS = ("exact", "minhash", "simhash", "phash", "none")
+DEDUP_METHODS = ("exact", "minhash", "simhash", "phash", "cosine", "none")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -60,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-quality", action="store_true",
                    help="skip the Gopher quality stage")
+    p.add_argument("--embeddings", default=None,
+                   help="embeddings parquet (id + array<float>) for "
+                        "--method cosine")
     p.add_argument("--snapshot-dir", default=None,
                    help="versioned snapshot table: the curated corpus "
                         "commits as the next version (atomic manifest, "
@@ -67,7 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _dedup(df: DataFrame, text_col: str, id_col: str, dcf: dict) -> DataFrame:
+def _dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dcf: dict,
+    emb: DataFrame | None = None,
+) -> DataFrame:
     """Dispatch to the bounded-join dedup pipelines. Every method keeps
     the component-minimum id (plus all unpaired docs)."""
     from pacasam_spark.operators.components import (
@@ -113,6 +126,26 @@ def _dedup(df: DataFrame, text_col: str, id_col: str, dcf: dict) -> DataFrame:
             max_bucket_size=int(dcf.get("max_bucket_size", 10000)),
         )
         return dedup_by_components(df, pairs, id_col=id_col)
+    if method == "cosine":
+        from pacasam_spark.operators.similarity import lsh_cosine_pairs_above
+
+        if emb is None:
+            raise ValueError("--embeddings is required for method=cosine")
+        emb_id = dcf.get("emb_id_col", id_col)
+        if emb_id != id_col:
+            emb = emb.withColumnRenamed(emb_id, id_col)
+        # pair only the quality SURVIVORS: otherwise a filtered-out doc
+        # could be a component minimum and silently sink a survivor
+        emb = emb.join(df.select(id_col), id_col, "left_semi")
+        pairs = lsh_cosine_pairs_above(
+            emb,
+            threshold=float(dcf.get("threshold", 0.9)),
+            dim=int(dcf.get("dim", 64)),
+            id_col=id_col,
+            vec_col=dcf.get("vec_col", "embedding"),
+            max_bucket_size=int(dcf.get("max_bucket_size", 10000)),
+        )
+        return dedup_by_components(df, pairs, id_col=id_col)
     raise ValueError(f"unknown dedup method {method!r}")
 
 
@@ -149,7 +182,8 @@ def run(args: argparse.Namespace) -> dict:
         survivors = docs
         n_quality = n_input
 
-    deduped = _dedup(survivors, text_col, id_col, dcf).persist()
+    emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+    deduped = _dedup(survivors, text_col, id_col, dcf, emb=emb).persist()
     n_final = deduped.count()
 
     corpus_path = f"{args.output}/corpus"

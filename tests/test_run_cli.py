@@ -323,3 +323,54 @@ def test_run_curation_cli_end_to_end(spark, tmp_path):
     n_exact = spark.read.parquet(f"{out2}/corpus").count()
     assert n_exact == 60
     assert n_final <= n_exact
+
+
+def test_run_curation_cosine_method(spark, tmp_path):
+    """--method cosine: embedding near-dups (LSH-bucketed cosine pairs ->
+    components) sink every planted identical-vector copy; the embeddings
+    table is semi-joined to the quality survivors first so a
+    filtered-out doc can never be a component minimum."""
+    from pacasam_spark.run_curation import main as curation_main
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    corpus = base.unionByName(
+        base.select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    )
+    inp = str(tmp_path / "docs.parquet")
+    corpus.write.parquet(inp)
+    # deterministic 8-dim embedding per BASE id: planted copies (d and
+    # d+5000) share the exact vector -> cosine 1.0 pairs
+    emb = corpus.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: F.cos((F.col("doc_id") % 5000).cast("double") * j.cast("double")).cast("float"),
+        ).alias("embedding"),
+    )
+    emb_path = str(tmp_path / "emb.parquet")
+    emb.write.parquet(emb_path)
+
+    cfg_path = str(tmp_path / "cosine.yml")
+    with open(cfg_path, "w") as fh:
+        fh.write(
+            "quality:\n"
+            "  min_words: 3\n"
+            "  min_stopword_hits: 0\n"
+            "dedup:\n"
+            "  method: cosine\n"
+            "  threshold: 0.95\n"
+            "  dim: 8\n"
+        )
+
+    out = str(tmp_path / "curated_cos")
+    curation_main(
+        ["--config", cfg_path, "--input", inp, "--output", out,
+         "--embeddings", emb_path]
+    )
+    curated = spark.read.parquet(f"{out}/corpus")
+    assert curated.filter(F.col("doc_id") >= 5000).count() == 0
+    assert 0 < curated.count() <= 60
