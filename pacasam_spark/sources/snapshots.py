@@ -104,6 +104,15 @@ def write_snapshot(
         "row_count": sum(r["count"] for r in parts),
         "schema": written.schema.jsonValue(),
         "files": {os.path.basename(r["file"]): r["count"] for r in parts},
+        # per-partition METRICS next to the lineage (north rule): bytes
+        # per committed part-file, from the local listing — no data read.
+        # rows/bytes together make size skew diagnosable per snapshot.
+        "file_bytes": {
+            os.path.basename(r["file"]): os.path.getsize(
+                os.path.join(data_dir, os.path.basename(r["file"]))
+            )
+            for r in parts
+        },
         "metadata": metadata or {},
     }
     # atomic commit: manifest appears fully written or not at all

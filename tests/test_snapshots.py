@@ -38,6 +38,12 @@ def test_snapshot_versions_and_time_travel(spark, tmp_path):
     data_dir = str(tmp_path / "tbl" / "v00002" / "data")
     on_disk = {f for f in os.listdir(data_dir) if f.endswith(".parquet")}
     assert set(hist[1]["files"]) <= on_disk
+    # per-partition metrics ride the manifest: actual on-disk bytes,
+    # keyed like the lineage
+    assert set(hist[1]["file_bytes"]) == set(hist[1]["files"])
+    for name, nbytes in hist[1]["file_bytes"].items():
+        assert nbytes == os.path.getsize(os.path.join(data_dir, name))
+        assert nbytes > 0
 
 
 def test_snapshot_uncommitted_write_is_invisible(spark, tmp_path):
