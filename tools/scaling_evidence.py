@@ -15,31 +15,40 @@ import os
 import subprocess
 import sys
 
+# Parquet-backed like the Diversity twin: an in-JVM CACHED image table
+# (900k x ~10 KB bytes ≈ GBs pinned in heap) re-creates the round-1
+# "heap wall" — cache + broadcast + Python I/O sharing one JVM heap.
+# Both levels scan the SAME on-disk files (identical input bytes).
 EXTRACT_WORKER = r"""
 import json, sys, time
 sys.path.insert(0, "/root/repo")
 cores, n_images, target, _ = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+import os
+path = os.environ["SCALING_IMAGES"]
 from pacasam_spark.session import get_spark
-from pacasam_spark.sources.images import synthetic_images
 from pacasam_spark.extract.images import extract_patches
 from pyspark.sql import functions as F
-from pacasam_spark.operators.hashing import det_hash
 
 spark = get_spark(app_name=f"scaling_x_{cores}", cores=int(cores))
-images = synthetic_images(spark, n=n_images, size=96).cache()
-images.count()
-# warm-up on a different selection, then drop plan caches
-warm = images.select("image_id").limit(1000).withColumn("split", F.lit("w"))
-extract_patches(images, warm, crop=(8, 8, 64, 64), out_fmt="q6").count()
+images = spark.read.parquet(path)
+modulus = int(round(n_images / target))
 
-sampling = (
-    images.select("image_id")
-    .filter(F.pmod(F.crc32("image_id"), F.lit(int(round(n_images / target)))) == 0)
-    .withColumn("split", F.lit("train"))
-)
+def selection(residue):
+    return (
+        spark.read.parquet(path).select("image_id")
+        .filter(F.pmod(F.crc32("image_id"), F.lit(modulus)) == residue)
+        .withColumn("split", F.lit("train"))
+    )
+
+# warm-up on a DIFFERENT residue class (CacheManager donates equal
+# plans), then release plan caches + the warm-up's shuffle files
+extract_patches(images, selection(1), crop=(8, 8, 64, 64), out_fmt="q6").count()
+spark.catalog.clearCache()
+spark.sparkContext._jvm.System.gc()
+
 t0 = time.perf_counter()
-out = extract_patches(images, sampling, crop=(8, 8, 64, 64), out_fmt="q6")
+out = extract_patches(images, selection(0), crop=(8, 8, 64, 64), out_fmt="q6")
 row = out.agg(
     F.count("*").alias("n"),
     F.sum(F.crc32("bytes")).alias("bsum"),
@@ -50,6 +59,19 @@ import hashlib
 h = hashlib.md5(f"{row['n']}|{row['bsum']}|{row['blen']}".encode()).hexdigest()
 print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
                   "patches_per_sec": row["n"]/dt, "result_md5": h}))
+"""
+
+PREPARE_IMAGES = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+n_images, path = int(sys.argv[1]), sys.argv[2]
+from pacasam_spark.session import get_spark
+from pacasam_spark.sources.images import synthetic_images
+spark = get_spark(app_name="scaling_prepare_images", cores=32)
+# spark.range at cores=32 gives 32 render tasks -> 32 files; both
+# levels read the same multi-file layout
+synthetic_images(spark, n=n_images, size=96).write.mode("overwrite").parquet(path)
+print("prepared", path)
 """
 
 PREPARE_PARQUET = r"""
@@ -295,6 +317,11 @@ def main() -> None:
             "SCALING_BUCKETED", f"/tmp/scaling_catalogue_{db_size}_bucketed"
         )
         prepare_parquet(db_size, path, script=PREPARE_BUCKETED)
+    elif sampler == "extract":
+        path = os.environ.setdefault(
+            "SCALING_IMAGES", f"/tmp/scaling_images_{db_size}.parquet"
+        )
+        prepare_parquet(db_size, path, script=PREPARE_IMAGES)
     # The sandbox VM sees invisible neighbor contention (load avg > 0 with
     # no local processes); interleaved best-of-k trials reject that noise.
     runs_n, runs_4n = [], []
