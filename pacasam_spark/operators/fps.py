@@ -177,8 +177,9 @@ def _make_run_carver(process, chunk_col: str = CHUNK_ID):
                 continue
             tbl = pa.Table.from_batches([batch])
             chunk_ids = tbl.column(chunk_col).to_numpy(zero_copy_only=False)
-            # run boundaries within this (sorted) batch
-            cuts = np.flatnonzero(np.diff(chunk_ids)) + 1
+            # run boundaries within this (sorted) batch — inequality, not
+            # np.diff: chunk ids may be strings (mosaic carves on image_id)
+            cuts = np.flatnonzero(chunk_ids[1:] != chunk_ids[:-1]) + 1
             starts = np.concatenate(([0], cuts))
             ends = np.concatenate((cuts, [len(chunk_ids)]))
             for s, e in zip(starts, ends):
