@@ -100,7 +100,7 @@ def tile_images(
     def work(batches) -> Iterator:
         import pyarrow as pa
 
-        from pacasam_spark.imaging import decode, encode, phash64
+        from pacasam_spark.imaging import decode, encode, phash64_batch
 
         pa_fields = [
             ("image_id", pa.string()), ("tile_x", pa.int32()),
@@ -125,8 +125,7 @@ def tile_images(
             }
             if with_bytes:
                 cols["bytes"] = []
-            if with_phash:
-                cols["phash"] = []
+            tile_stack: list[np.ndarray] = [] if with_phash else None
             for i, (iid, fmt) in enumerate(zip(ids, fmts)):
                 arr = decode(raw[i].as_py(), fmt)
                 ih, iw = arr.shape[:2]
@@ -150,7 +149,17 @@ def tile_images(
                     if with_bytes:
                         cols["bytes"].append(encode(t, ofmt))
                     if with_phash:
-                        cols["phash"].append(phash64(t))
+                        tile_stack.append(t)
+            if with_phash:
+                # one batched DCT per chunk (bit-identical to the scalar
+                # loop — tests pin it); chunked so the float64 temps stay
+                # bounded regardless of Arrow batch size
+                hashes: list[np.ndarray] = []
+                for s in range(0, len(tile_stack), 8192):
+                    hashes.append(
+                        phash64_batch(np.stack(tile_stack[s : s + 8192]))
+                    )
+                cols["phash"] = np.concatenate(hashes) if hashes else []
             yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
 
     return images.select("image_id", "bytes", "fmt").mapInArrow(work, fields)

@@ -258,6 +258,25 @@ def phash64(arr: np.ndarray) -> int:
     return int(np.int64(val))
 
 
+def phash64_batch(arrs: np.ndarray) -> np.ndarray:
+    """Vectorized ``phash64`` over a (N, H, W, 3) uint8 stack of
+    same-size frames -> int64[N]; asserted bit-identical to the scalar
+    loop in tests (tile grids produce exactly this shape, and the batch
+    DCT is one (N,32,32) matmul instead of N python-loop gemms —
+    the tile-fingerprint-index hot path)."""
+    n, h, w, _ = arrs.shape
+    gray = arrs.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    if h % 32 == 0 and w % 32 == 0:
+        g = gray.reshape(n, 32, h // 32, 32, w // 32).mean(axis=(2, 4))
+    else:  # rare non-divisible sizes: scalar bilinear path per frame
+        g = np.stack([_resize_gray(f, 32) for f in gray])
+    low = (_DCT32 @ g @ _DCT32.T)[:, :8, :8].reshape(n, 64)
+    med = np.median(low[:, 1:], axis=1)  # exclude DC, like phash64
+    bits = (low > med[:, None]).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return (bits * weights).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
     if mse == 0:

@@ -77,6 +77,17 @@ def test_tiles_overlapping_stride(spark, images):
     }
 
 
+def test_phash_batch_bit_identical():
+    for size in (16, 32, 48, 64):
+        from pacasam_spark.imaging import phash64_batch
+
+        tiles = np.stack(
+            [synth_pixels(f"pb{size}-{i}", size, size) for i in range(64)]
+        )
+        single = np.array([phash64(t) for t in tiles], dtype=np.int64)
+        assert (phash64_batch(tiles) == single).all()
+
+
 def test_mosaic_round_trip(spark, images):
     tiles = tile_images(images, 16, 16)  # keeps source fmt per image
     frames = {r.image_id: r for r in mosaic_tiles(tiles, "png").collect()}

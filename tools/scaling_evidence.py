@@ -61,6 +61,47 @@ print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
                   "patches_per_sec": row["n"]/dt, "result_md5": h}))
 """
 
+# Tile-fingerprint-index twin (image payload): decode every image, cut
+# an overlapping 32x32/stride-16 tile grid, batch-phash each tile, and
+# return only (image_id, tile coords, phash) — the shift-robust tile-
+# level dedup index build. Zero shuffles; output bytes are negligible,
+# so the measured shape is scan -> Python decode+DCT -> tiny agg.
+TILE_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+cores, n_images, target, _ = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+import os
+path = os.environ["SCALING_IMAGES"]
+from pacasam_spark.session import get_spark
+from pacasam_spark.extract.tiles import tile_images
+from pyspark.sql import functions as F
+
+spark = get_spark(app_name=f"scaling_t_{cores}", cores=int(cores))
+images = spark.read.parquet(path)
+# warm-up: same shape, different grid (no persisted plans to donate)
+tile_images(images, 48, 48, with_bytes=False, with_phash=True).agg(
+    F.count("*")).first()
+spark.catalog.clearCache()
+spark.sparkContext._jvm.System.gc()
+
+t0 = time.perf_counter()
+idx = tile_images(
+    images, 32, 32, stride_x=16, stride_y=16,
+    with_bytes=False, with_phash=True,
+)
+row = idx.agg(
+    F.count("*").alias("n"),
+    F.bit_xor("phash").alias("hx"),
+    F.sum(F.crc32(F.concat_ws("|", "image_id", "tile_x", "tile_y"))).alias("cs"),
+).first()
+dt = time.perf_counter() - t0
+import hashlib
+h = hashlib.md5(f"{row['n']}|{row['hx']}|{row['cs']}".encode()).hexdigest()
+print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
+                  "patches_per_sec": row["n"]/dt, "result_md5": h}))
+"""
+
 PREPARE_IMAGES = r"""
 import sys
 sys.path.insert(0, "/root/repo")
@@ -288,6 +329,7 @@ def prepare_parquet(db_size: int, path: str, script: str = PREPARE_PARQUET) -> N
 def run(cores: int, db_size: int, target: int, sampler: str) -> dict:
     worker = {
         "extract": EXTRACT_WORKER,
+        "tile": TILE_WORKER,
         "DiversityParquet": PARQUET_WORKER,
         "DiversityBucketed": BUCKETED_WORKER,
     }.get(sampler, WORKER)
@@ -317,7 +359,7 @@ def main() -> None:
             "SCALING_BUCKETED", f"/tmp/scaling_catalogue_{db_size}_bucketed"
         )
         prepare_parquet(db_size, path, script=PREPARE_BUCKETED)
-    elif sampler == "extract":
+    elif sampler in ("extract", "tile"):
         path = os.environ.setdefault(
             "SCALING_IMAGES", f"/tmp/scaling_images_{db_size}.parquet"
         )
