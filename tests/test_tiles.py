@@ -103,6 +103,43 @@ def test_mosaic_round_trip(spark, images):
             assert psnr(got, src) >= 40.0
 
 
+def test_streaming_tile_index(spark, tmp_path):
+    """tile_images is stateless mapInArrow, so it runs unchanged over a
+    stream: file-source images -> tile-phash index, append mode. The
+    streamed index must equal the batch index on the same rows."""
+    imgs = synthetic_images(spark, n=20, size=32)
+    src = str(tmp_path / "imgs")
+    imgs.limit(12).write.mode("overwrite").parquet(src)
+    imgs.subtract(imgs.limit(12)).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(imgs.schema).parquet(f"{src}/*.parquet")
+    idx = tile_images(stream, 16, 16, with_bytes=False, with_phash=True)
+    q = (
+        idx.writeStream.format("memory")
+        .queryName("tile_idx_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r.image_id, r.tile_x, r.tile_y, r.phash)
+        for r in spark.table("tile_idx_stream").collect()
+    )
+    want = sorted(
+        (r.image_id, r.tile_x, r.tile_y, r.phash)
+        for r in tile_images(
+            spark.read.parquet(src), 16, 16,
+            with_bytes=False, with_phash=True,
+        ).collect()
+    )
+    assert got == want and len(got) == 20 * 4
+
+
 def test_mosaic_overlap_last_wins(spark):
     import pandas as pd
     from pacasam_spark.imaging import encode
