@@ -74,6 +74,7 @@ def write_snapshot(
     df: DataFrame,
     table_dir: str,
     metadata: dict | None = None,
+    stats_columns: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``; returns the
     new version number. One extra aggregation over the written files
@@ -83,7 +84,14 @@ def write_snapshot(
     count-shuffle samplers/base._stage pays. Grouping by
     spark_partition_id() of the re-read would instead record READ
     splits, which depend on maxPartitionBytes packing, not on how the
-    snapshot was written."""
+    snapshot was written.
+
+    ``stats_columns`` folds per-file min/max for the named columns into
+    the SAME aggregation (no extra pass) and records them in the
+    manifest — Iceberg's per-data-file ``lower_bounds``/``upper_bounds``
+    shape. ``read_snapshot(bounds=...)`` then prunes whole files from a
+    range query before Spark ever lists them; the stats are selective
+    when the writer clustered the data (``spatial/zorder.py``)."""
     os.makedirs(table_dir, exist_ok=True)
     version = (_versions(table_dir) or [0])[-1] + 1
     vdir = _vdir(table_dir, version)
@@ -92,9 +100,13 @@ def write_snapshot(
 
     spark = df.sparkSession
     written = spark.read.parquet(data_dir)
+    aggs = [F.count("*").alias("count")]
+    for c in stats_columns or []:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
     parts = (
         written.groupBy(F.input_file_name().alias("file"))
-        .count()
+        .agg(*aggs)
         .collect()
     )
     committed = _committed_versions(table_dir)
@@ -104,6 +116,18 @@ def write_snapshot(
         "row_count": sum(r["count"] for r in parts),
         "schema": written.schema.jsonValue(),
         "files": {os.path.basename(r["file"]): r["count"] for r in parts},
+        # per-file column bounds (Iceberg lower_bounds/upper_bounds):
+        # {file: {col: [min, max]}}; null min/max (all-null file) is
+        # recorded as null and treated conservatively by the pruner.
+        "file_stats": {
+            os.path.basename(r["file"]): {
+                c: [r[f"__min_{c}"], r[f"__max_{c}"]]
+                for c in stats_columns
+            }
+            for r in parts
+        }
+        if stats_columns
+        else {},
         # per-partition METRICS next to the lineage (north rule): bytes
         # per committed part-file, from the local listing — no data read.
         # rows/bytes together make size skew diagnosable per snapshot.
@@ -132,11 +156,54 @@ def snapshots(table_dir: str) -> list[dict]:
     return out
 
 
+def prune_files(
+    manifest: dict, bounds: dict[str, tuple] | None
+) -> list[str]:
+    """File basenames of ``manifest`` that can contain a row satisfying
+    ``bounds`` ({col: (lo, hi)}, both ends inclusive; either end may be
+    None for half-open). CONSERVATIVE: a file is skipped only when its
+    recorded [min, max] for some bounded column provably misses the
+    range; missing stats (column not in ``stats_columns`` at write
+    time, or an all-null file) keep the file. Pruning never changes a
+    query's result — callers still apply the exact predicate; it only
+    changes which files the scan has to touch."""
+    files = sorted(manifest["files"])
+    if not bounds:
+        return files
+    stats = manifest.get("file_stats", {})
+    kept = []
+    for f in files:
+        fstats = stats.get(f, {})
+        for col, (lo, hi) in bounds.items():
+            if col not in fstats:
+                continue  # no stats recorded — cannot exclude
+            fmin, fmax = fstats[col]
+            if fmin is None or fmax is None:
+                continue  # all-null file — cannot exclude on range
+            if (hi is not None and fmin > hi) or (
+                lo is not None and fmax < lo
+            ):
+                break  # provably disjoint from the query range
+        else:
+            kept.append(f)
+    return kept
+
+
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    bounds: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Time-travel read: the latest committed snapshot, or an explicit
-    committed version. Uncommitted (crashed) writes are invisible."""
+    committed version. Uncommitted (crashed) writes are invisible.
+
+    ``bounds`` ({col: (lo, hi)} inclusive) prunes files via the
+    manifest's per-file min/max stats (:func:`prune_files`) — the
+    Iceberg scan-planning step: only surviving files are handed to the
+    reader, driver-side, with no filesystem listing of the rest. The
+    read is a SUPERSET of the rows matching ``bounds``; apply the exact
+    filter on top (pruning is file-granular)."""
     committed = _committed_versions(table_dir)
     if not committed:
         raise FileNotFoundError(f"no committed snapshots under {table_dir}")
@@ -153,7 +220,19 @@ def read_snapshot(
             f"snapshot v{version:05d} of {table_dir} was expired — its "
             "manifest survives for inspection but the data is gone"
         )
-    return spark.read.parquet(data_dir)
+    if bounds is None:
+        return spark.read.parquet(data_dir)
+    with open(_manifest_path(table_dir, version)) as f:
+        manifest = json.load(f)
+    kept = prune_files(manifest, bounds)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(manifest["schema"])
+    if not kept:  # every file pruned — empty result, manifest schema
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *(os.path.join(data_dir, f) for f in kept)
+    )
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
