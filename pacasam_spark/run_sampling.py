@@ -82,6 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "selection as the next snapshot (atomic manifest, "
                         "per-partition lineage, time-travel reads via "
                         "sources.snapshots.read_snapshot)")
+    p.add_argument("--zorder", default=None, metavar="XCOL,YCOL",
+                   help="cluster the snapshot on a Morton curve of these "
+                        "two coordinate columns (e.g. geom_xmin,geom_ymin) "
+                        "and record per-file min/max stats in the manifest, "
+                        "so later box queries prune whole files via "
+                        "read_snapshot(bounds=...)")
+    p.add_argument("--zorder-files", type=int, default=32,
+                   help="target file count for the z-ordered snapshot")
     # legacy flag-driven mode (no --config)
     p.add_argument("--db-size", type=int, default=10000)
     p.add_argument("--target", type=int, default=500)
@@ -135,15 +143,26 @@ def run(args: argparse.Namespace) -> dict:
     if args.snapshot_dir:
         from pacasam_spark.sources.snapshots import write_snapshot
 
+        to_commit, stats_columns = extracted, None
+        if args.zorder:
+            from pacasam_spark.spatial.zorder import cluster_by_zorder
+
+            xcol, ycol = (c.strip() for c in args.zorder.split(","))
+            to_commit = cluster_by_zorder(
+                extracted, xcol, ycol, n_files=args.zorder_files
+            )
+            stats_columns = [xcol, ycol]
         snapshot_version = write_snapshot(
-            extracted,
+            to_commit,
             args.snapshot_dir,
             metadata={
                 "task": task_name,
                 "sampler": args.sampler_class,
                 "seed": args.seed,
                 "config_fingerprint": sampler._run_fingerprint(),
+                "layout": f"zorder({args.zorder})" if args.zorder else "unspecified",
             },
+            stats_columns=stats_columns,
         )
 
     summary = {
