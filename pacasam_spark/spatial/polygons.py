@@ -164,20 +164,130 @@ def polygon_zone_cells(
     )
 
 
+def polygon_zone_cells_distributed(
+    zones_df: DataFrame,
+    level: int,
+    base: float = BASE_CELL_M,
+) -> DataFrame:
+    """Distributed twin of :func:`polygon_zone_cells` — same output rows
+    (zone_id, cell, edges, interior), built with NO driver loop, for
+    zone sets too large to enumerate driver-side (the reference caps
+    out at a handful of hand-drawn zones; a national land-cover layer
+    is millions of polygons whose bbox-cell expansion must itself be a
+    distributed job).
+
+    ``zones_df`` is (zone_id string, edges array<array<double>>) — e.g.
+    read from parquet, or built with :func:`polygon_edges`. Everything
+    is pure column expressions over the edge array (bbox via
+    array min/max, the cell grid via two exploded ``sequence``s, the
+    boundary test via ``exists``, the interior test via the same
+    ray-cast fold the join uses, edge pruning via ``filter``) — one
+    narrow pipeline, whole-stage codegen, no UDF. The first explode
+    spreads each polygon's cell COLUMNS across rows, so one giant
+    polygon parallelizes across tasks after any repartition.
+    """
+    edge_len = cell_edge(level, base)
+    e = F.col("edges")
+    xs1 = F.transform(e, lambda ed: F.element_at(ed, 1))
+    ys1 = F.transform(e, lambda ed: F.element_at(ed, 2))
+    xs2 = F.transform(e, lambda ed: F.element_at(ed, 3))
+    ys2 = F.transform(e, lambda ed: F.element_at(ed, 4))
+    xmin = F.least(F.array_min(xs1), F.array_min(xs2))
+    xmax = F.greatest(F.array_max(xs1), F.array_max(xs2))
+    ymin = F.least(F.array_min(ys1), F.array_min(ys2))
+    ymax = F.greatest(F.array_max(ys1), F.array_max(ys2))
+
+    cells = (
+        zones_df.withColumn(
+            "__cx",
+            F.explode(
+                F.sequence(
+                    F.floor(xmin / edge_len).cast("long"),
+                    F.floor((xmax - F.lit(1e-9)) / edge_len).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "__cy",
+            F.explode(
+                F.sequence(
+                    F.floor(ymin / edge_len).cast("long"),
+                    F.floor((ymax - F.lit(1e-9)) / edge_len).cast("long"),
+                )
+            ),
+        )
+        .withColumn("__x0", F.col("__cx").cast("double") * edge_len)
+        .withColumn("__y0", F.col("__cy").cast("double") * edge_len)
+    )
+    x0, y0 = F.col("__x0"), F.col("__y0")
+    x1, y1 = x0 + F.lit(float(edge_len)), y0 + F.lit(float(edge_len))
+
+    def overlaps(ed: Column) -> Column:
+        ex1, ey1 = F.element_at(ed, 1), F.element_at(ed, 2)
+        ex2, ey2 = F.element_at(ed, 3), F.element_at(ed, 4)
+        return (
+            (F.least(ex1, ex2) <= x1)
+            & (F.greatest(ex1, ex2) >= x0)
+            & (F.least(ey1, ey2) <= y1)
+            & (F.greatest(ey1, ey2) >= y0)
+        )
+
+    def keepable(ed: Column) -> Column:
+        # same result-preserving prune as the driver builder: drop edges
+        # entirely LEFT of the cell or outside its y-band
+        ex1, ey1 = F.element_at(ed, 1), F.element_at(ed, 2)
+        ex2, ey2 = F.element_at(ed, 3), F.element_at(ed, 4)
+        return (
+            (F.greatest(ex1, ex2) >= x0)
+            & (F.greatest(ey1, ey2) >= y0)
+            & (F.least(ey1, ey2) <= y1)
+        )
+
+    boundary = F.exists(e, overlaps)
+    center_in = point_in_polygon((x0 + x1) / 2.0, (y0 + y1) / 2.0, e)
+    return (
+        cells.filter(boundary | center_in)
+        .select(
+            "zone_id",
+            F.concat_ws("_", "__cx", "__cy").alias("cell"),
+            F.when(boundary, F.filter(e, keepable))
+            .otherwise(F.array().cast("array<array<double>>"))
+            .alias("edges"),
+            (~boundary).alias("interior"),
+        )
+    )
+
+
 def join_points_to_polygons(
     points: DataFrame,
-    zones: list[tuple[str, Polygon]],
+    zones: list[tuple[str, Polygon]] | DataFrame,
     x: str,
     y: str,
     level: int,
     base: float = BASE_CELL_M,
+    broadcast_zones: bool = True,
 ) -> DataFrame:
-    """Cell-coarse broadcast equi-join; exact ray-cast only in boundary
-    cells (interior cells accept directly, outside cells never join)."""
+    """Cell-coarse equi-join; exact ray-cast only in boundary cells
+    (interior cells accept directly, outside cells never join).
+
+    ``zones`` is either the small driver-side list (classified by
+    :func:`polygon_zone_cells` and broadcast — the default, right
+    whenever the zone-cell table fits an executor) or an arbitrarily
+    large (zone_id, edges) DataFrame (classified by
+    :func:`polygon_zone_cells_distributed`); with
+    ``broadcast_zones=False`` the join becomes a plain shuffle
+    equi-join on the cell id — both sides hash-partition on the same
+    key, no cartesian anywhere, and AQE's skew-join splitting applies
+    to hot cells."""
     spark = points.sparkSession
-    zdf = polygon_zone_cells(spark, zones, level, base)
+    if isinstance(zones, DataFrame):
+        zdf = polygon_zone_cells_distributed(zones, level, base)
+    else:
+        zdf = polygon_zone_cells(spark, zones, level, base)
+    if broadcast_zones:
+        zdf = F.broadcast(zdf)
     pts = points.withColumn("__cell", cell_id(F.col(x), F.col(y), level, base))
-    joined = pts.join(F.broadcast(zdf), pts["__cell"] == zdf["cell"])
+    joined = pts.join(zdf, pts["__cell"] == zdf["cell"])
     return (
         joined.filter(
             F.col("interior") | point_in_polygon(F.col(x), F.col(y), F.col("edges"))

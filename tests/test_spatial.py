@@ -196,3 +196,88 @@ def test_polygon_edge_pruning_exact_on_many_edge_zones(spark):
     want = {pid for pid, px, py in pts if _pip_py(px, py, ring)}
     assert got == want
     assert 0 < len(want) < len(pts)
+
+
+def test_distributed_zone_cells_equal_driver_builder(spark):
+    """polygon_zone_cells_distributed (pure expressions, no driver loop)
+    emits EXACTLY the driver builder's rows — same cells, same interior
+    flags, same pruned edge lists — on both a non-convex L and a
+    64-edge wobbly ring."""
+    import math
+
+    from pacasam_spark.spatial.polygons import (
+        polygon_edges,
+        polygon_zone_cells,
+        polygon_zone_cells_distributed,
+    )
+
+    lshape = [(0.0, 0.0), (40.0, 0.0), (40.0, 20.0), (20.0, 20.0),
+              (20.0, 40.0), (0.0, 40.0)]
+    ring = [
+        (
+            50.0 + 35.0 * (1 + 0.2 * math.sin(5 * t)) * math.cos(t),
+            50.0 + 35.0 * (1 + 0.2 * math.sin(5 * t)) * math.sin(t),
+        )
+        for t in (2 * math.pi * i / 64 for i in range(64))
+    ]
+    zones = [("L", lshape), ("ring", ring)]
+    zdf = spark.createDataFrame(
+        [(zid, polygon_edges(v)) for zid, v in zones],
+        "zone_id string, edges array<array<double>>",
+    )
+
+    def canon(df):
+        return sorted(
+            (r["zone_id"], r["cell"], r["interior"],
+             tuple(tuple(e) for e in r["edges"]))
+            for r in df.collect()
+        )
+
+    for level, base in [(0, 4.0), (0, 10.0), (1, 8.0)]:
+        want = canon(polygon_zone_cells(spark, zones, level, base))
+        got = canon(polygon_zone_cells_distributed(zdf, level, base))
+        assert got == want, (level, base)
+        assert want  # non-degenerate
+
+    # pure column pipeline: no Python workers in the plan
+    plan = (
+        polygon_zone_cells_distributed(zdf, 0, 10.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+
+
+def test_polygon_join_shuffle_mode_equals_broadcast(spark):
+    """broadcast_zones=False + a zones DataFrame: the join becomes a
+    shuffle equi-join on the cell id (the arbitrarily-many-zones path) —
+    same matches as the broadcast path, no broadcast, no cartesian."""
+    from pacasam_spark.spatial.polygons import (
+        join_points_to_polygons,
+        polygon_edges,
+    )
+
+    lshape = [(0.0, 0.0), (40.0, 0.0), (40.0, 20.0), (20.0, 20.0),
+              (20.0, 40.0), (0.0, 40.0)]
+    pts = [(i, 0.3 + 1.9 * (i % 23), 0.3 + 1.7 * (i // 23)) for i in range(500)]
+    df = spark.createDataFrame(pts, "pid int, px double, py double")
+    zdf = spark.createDataFrame(
+        [("z", polygon_edges(lshape))],
+        "zone_id string, edges array<array<double>>",
+    )
+    out = join_points_to_polygons(
+        df, zdf, "px", "py", level=0, base=4.0, broadcast_zones=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "Cartesian" not in plan
+    got = {r["pid"] for r in out.collect()}
+    want = {
+        r["pid"]
+        for r in join_points_to_polygons(
+            df, [("z", lshape)], "px", "py", level=0, base=4.0
+        ).collect()
+    }
+    assert got == want and got == {
+        pid for pid, px, py in pts if _pip_py(px, py, lshape)
+    }
