@@ -20,7 +20,14 @@ any historical snapshot is diagnosable from the directory alone.
 `read_snapshot(version=None)` is time travel: latest committed by
 default, any committed version explicitly. `expire_snapshots` drops old
 versions' data but keeps their manifests (history stays inspectable —
-the Iceberg expire-snapshots shape).
+the Iceberg expire-snapshots shape), never touching data a live version
+still references through an append chain.
+
+Commit types (Iceberg's): an OVERWRITE version's files are the whole
+table; an APPEND version adds files on top of its parent, with the
+logical file set resolved by walking manifests at read time — no data
+copied per commit, so a stream of small appends is O(new rows), not
+O(table). Schema is validated against the parent at append time.
 
 A real multi-writer deployment would route commits through a table
 format's atomic catalog (Iceberg/Delta); this module is the
@@ -70,11 +77,31 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(_vdir(table_dir, version), "manifest.json")
 
 
+def _load_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _resolve_chain(table_dir: str, version: int) -> list[dict]:
+    """Manifests whose data files make up the given version's logical
+    table: the version itself plus, through contiguous APPEND links, its
+    ancestors. An overwrite commit terminates the walk — it replaced the
+    table. Newest first."""
+    chain = [_load_manifest(table_dir, version)]
+    while (
+        chain[-1].get("commit_type", "overwrite") == "append"
+        and chain[-1]["parent_version"] is not None
+    ):
+        chain.append(_load_manifest(table_dir, chain[-1]["parent_version"]))
+    return chain
+
+
 def write_snapshot(
     df: DataFrame,
     table_dir: str,
     metadata: dict | None = None,
     stats_columns: list[str] | None = None,
+    mode: str = "overwrite",
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``; returns the
     new version number. One extra aggregation over the written files
@@ -91,11 +118,43 @@ def write_snapshot(
     manifest — Iceberg's per-data-file ``lower_bounds``/``upper_bounds``
     shape. ``read_snapshot(bounds=...)`` then prunes whole files from a
     range query before Spark ever lists them; the stats are selective
-    when the writer clustered the data (``spatial/zorder.py``)."""
+    when the writer clustered the data (``spatial/zorder.py``).
+
+    ``mode`` is the Iceberg commit type. ``"overwrite"`` (default):
+    this version's files ARE the table. ``"append"``: this commit
+    writes ONLY ``df``'s rows; the version's logical table is the
+    parent's table plus these files (resolved by walking the manifest
+    chain at read time — no data is copied, the 100 TB ingest pattern).
+    Appends require ``df``'s schema to equal the parent table's schema
+    (raises ``ValueError`` otherwise, like Iceberg's append validation);
+    an append onto an empty table degrades to an overwrite."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
     version = (_versions(table_dir) or [0])[-1] + 1
     vdir = _vdir(table_dir, version)
     data_dir = os.path.join(vdir, "data")
+    committed = _committed_versions(table_dir)
+    parent = committed[-1] if committed else None
+    parent_total = 0
+    if mode == "append" and parent is None:
+        mode = "overwrite"  # appending to an empty table creates it
+    if mode == "append":
+        # validate BEFORE writing any data (Iceberg append validation);
+        # compare name+type only — parquet round-trips relax nullability
+        parent_manifest = _load_manifest(table_dir, parent)
+
+        def shape(schema_json: dict) -> list[tuple[str, object]]:
+            return [(f["name"], f["type"]) for f in schema_json["fields"]]
+
+        if shape(parent_manifest["schema"]) != shape(df.schema.jsonValue()):
+            raise ValueError(
+                f"append to {table_dir} v{parent:05d} with a different "
+                f"schema; use mode='overwrite' to replace the table"
+            )
+        parent_total = parent_manifest.get("total_row_count") or sum(
+            m["row_count"] for m in _resolve_chain(table_dir, parent)
+        )
     df.write.mode("overwrite").parquet(data_dir)
 
     spark = df.sparkSession
@@ -109,11 +168,14 @@ def write_snapshot(
         .agg(*aggs)
         .collect()
     )
-    committed = _committed_versions(table_dir)
     manifest = {
         "version": version,
-        "parent_version": committed[-1] if committed else None,
+        "parent_version": parent,
+        "commit_type": mode,
+        # rows ADDED by this commit (old readers sum these per version);
+        # total_row_count is the logical table size after the commit
         "row_count": sum(r["count"] for r in parts),
+        "total_row_count": parent_total + sum(r["count"] for r in parts),
         "schema": written.schema.jsonValue(),
         "files": {os.path.basename(r["file"]): r["count"] for r in parts},
         # per-file column bounds (Iceberg lower_bounds/upper_bounds):
@@ -214,36 +276,51 @@ def read_snapshot(
             f"snapshot v{version:05d} of {table_dir} does not exist or was "
             f"never committed (committed: {committed})"
         )
-    data_dir = os.path.join(_vdir(table_dir, version), "data")
-    if not os.path.isdir(data_dir):
-        raise FileNotFoundError(
-            f"snapshot v{version:05d} of {table_dir} was expired — its "
-            "manifest survives for inspection but the data is gone"
-        )
-    if bounds is None:
-        return spark.read.parquet(data_dir)
-    with open(_manifest_path(table_dir, version)) as f:
-        manifest = json.load(f)
-    kept = prune_files(manifest, bounds)
+    chain = _resolve_chain(table_dir, version)
+    for m in chain:
+        if not os.path.isdir(os.path.join(_vdir(table_dir, m["version"]), "data")):
+            raise FileNotFoundError(
+                f"snapshot v{m['version']:05d} of {table_dir} (contributing "
+                f"files to v{version:05d}) was expired — its manifest "
+                "survives for inspection but the data is gone"
+            )
+    if bounds is None and len(chain) == 1:
+        return spark.read.parquet(os.path.join(_vdir(table_dir, version), "data"))
+    # explicit file list: the version's own files plus — through append
+    # links — its ancestors', each pruned against its OWN manifest's
+    # per-file bounds (append schemas are validated at commit, so the
+    # newest manifest's schema reads every contributing file)
+    paths = [
+        os.path.join(_vdir(table_dir, m["version"]), "data", f)
+        for m in chain
+        for f in prune_files(m, bounds)
+    ]
     from pyspark.sql.types import StructType
 
-    schema = StructType.fromJson(manifest["schema"])
-    if not kept:  # every file pruned — empty result, manifest schema
+    schema = StructType.fromJson(chain[0]["schema"])
+    if not paths:  # every file pruned — empty result, manifest schema
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *(os.path.join(data_dir, f) for f in kept)
-    )
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
-    """Drop the DATA of all but the newest ``keep_last`` committed
-    snapshots (manifests stay — history remains inspectable); returns
-    the expired version numbers. Uncommitted dirs are removed whole."""
+    """Drop the DATA of committed snapshots older than the newest
+    ``keep_last``, EXCEPT data still referenced by a kept version
+    through an append chain (Iceberg expire semantics: expiry removes
+    unreferenced files, never files a live snapshot reads). Manifests
+    stay — history remains inspectable. Returns the expired version
+    numbers; uncommitted dirs are removed whole."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     committed = _committed_versions(table_dir)
+    kept = set(committed[-keep_last:])
+    referenced = {
+        m["version"] for v in kept for m in _resolve_chain(table_dir, v)
+    }
     expired = []
     for v in committed[:-keep_last]:
+        if v in referenced:
+            continue
         data_dir = os.path.join(_vdir(table_dir, v), "data")
         if os.path.isdir(data_dir):
             shutil.rmtree(data_dir)

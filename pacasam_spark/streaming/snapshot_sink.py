@@ -72,6 +72,7 @@ def snapshot_batch_writer(
     metadata: dict | None = None,
     query_id: str | None = None,
     checkpoint_dir: str | None = None,
+    mode: str = "overwrite",
 ):
     """A ``foreachBatch`` function committing each non-empty micro-batch
     as one snapshot version of ``table_dir``. Empty batches (e.g. the
@@ -93,6 +94,14 @@ def snapshot_batch_writer(
     The committed set is read from disk ONCE per query and cached in the
     closure (the sink is single-writer by design) — a long-running
     stream stays O(1) manifest reads per batch instead of O(versions).
+
+    ``mode`` is the snapshot commit type (sources/snapshots.py). The
+    default ``"overwrite"`` makes each version exactly that batch's
+    rows (a log of batches: time travel reads one batch, the table is
+    the union of versions). ``"append"`` chains each batch onto the
+    previous version, so ``read_snapshot(latest)`` IS the cumulative
+    table and time travel shows the table as of any batch — the Iceberg
+    streaming-sink shape; expire keeps chained data alive.
     """
     state: dict = {"committed": None, "query_id": query_id}
 
@@ -119,7 +128,7 @@ def snapshot_batch_writer(
         meta["batch_id"] = bid
         if qid is not None:
             meta["query_id"] = qid
-        write_snapshot(df, table_dir, meta)
+        write_snapshot(df, table_dir, meta, mode=mode)
         state["committed"].add((qid, bid))
 
     return write_batch
@@ -132,6 +141,7 @@ def sessions_to_snapshots(
     checkpoint_dir: str,
     gap: str = "30 minutes",
     watermark: str = "0 seconds",
+    mode: str = "overwrite",
 ) -> int:
     """Drain the bounded session stream (streaming/events.py semantics:
     append mode emits each finalized session exactly once) into the
@@ -163,7 +173,9 @@ def sessions_to_snapshots(
     q = (
         sessions.writeStream.outputMode("append")
         .foreachBatch(
-            snapshot_batch_writer(table_dir, checkpoint_dir=checkpoint_dir)
+            snapshot_batch_writer(
+                table_dir, checkpoint_dir=checkpoint_dir, mode=mode
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .start()

@@ -80,3 +80,124 @@ def test_snapshot_expire_keeps_manifests(spark, tmp_path):
 def test_snapshot_empty_table_errors(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no committed"):
         read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_append_commits_chain_without_copying(spark, tmp_path):
+    """Append versions add files on top of the parent: reads resolve the
+    chain (no data copied per commit), total_row_count tracks the
+    logical table, per-commit row_count stays the delta, and an
+    overwrite resets the chain."""
+    d = str(tmp_path / "atbl")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("patch_id"))
+
+    assert write_snapshot(batch(0, 10), d, mode="append") == 1  # creates
+    assert write_snapshot(batch(10, 15), d, mode="append") == 2
+    assert write_snapshot(batch(15, 35), d, mode="append") == 3
+
+    hist = snapshots(d)
+    assert [m["commit_type"] for m in hist] == ["overwrite", "append", "append"]
+    assert [m["row_count"] for m in hist] == [10, 5, 20]
+    assert [m["total_row_count"] for m in hist] == [10, 15, 35]
+
+    # time travel sees the table AS OF each version
+    assert read_snapshot(spark, d, version=1).count() == 10
+    assert read_snapshot(spark, d, version=2).count() == 15
+    latest = read_snapshot(spark, d)
+    assert sorted(r["patch_id"] for r in latest.collect()) == list(range(35))
+    # v3's own data dir holds only its delta — nothing was rewritten
+    v3_files = os.listdir(str(tmp_path / "atbl" / "v00003" / "data"))
+    assert sum(
+        os.path.getsize(str(tmp_path / "atbl" / "v00003" / "data" / f))
+        for f in v3_files if f.endswith(".parquet")
+    ) < sum(hist[2]["file_bytes"].values()) + 1  # == its manifest bytes
+
+    # overwrite resets: the new table is just the overwrite's rows
+    assert write_snapshot(batch(100, 103), d, mode="overwrite") == 4
+    assert read_snapshot(spark, d).count() == 3
+    assert snapshots(d)[-1]["total_row_count"] == 3
+
+
+def test_append_schema_mismatch_raises_before_writing(spark, tmp_path):
+    d = str(tmp_path / "stbl")
+    write_snapshot(spark.range(5).select(F.col("id").alias("patch_id")), d)
+    with pytest.raises(ValueError, match="different schema"):
+        write_snapshot(
+            spark.range(5).select(F.col("id").alias("other")), d, mode="append"
+        )
+    # the failed append claimed no version and left no data dir
+    assert [m["version"] for m in snapshots(d)] == [1]
+    assert not os.path.isdir(str(tmp_path / "stbl" / "v00002"))
+
+
+def test_expire_keeps_data_referenced_by_append_chain(spark, tmp_path):
+    """Iceberg expire semantics: v1's data survives expiry while the
+    kept latest version still reads it through the chain; after an
+    overwrite breaks the chain, the old data becomes expirable."""
+    d = str(tmp_path / "etbl")
+    df = spark.range(8).select(F.col("id").alias("patch_id"))
+    write_snapshot(df, d)                                # v1
+    write_snapshot(df.limit(3), d, mode="append")        # v2 -> v1
+    write_snapshot(df.limit(2), d, mode="append")        # v3 -> v2 -> v1
+    assert expire_snapshots(d, keep_last=1) == []        # all referenced
+    assert read_snapshot(spark, d).count() == 13         # chain intact
+
+    write_snapshot(df.limit(1), d, mode="overwrite")     # v4: chain cut
+    assert sorted(expire_snapshots(d, keep_last=1)) == [1, 2, 3]
+    assert read_snapshot(spark, d).count() == 1
+    with pytest.raises(FileNotFoundError, match="expired"):
+        read_snapshot(spark, d, version=3)
+
+
+def test_append_chain_bounds_pruning_spans_versions(spark, tmp_path):
+    """bounds pruning composes with append chains: each contributing
+    manifest prunes its own files, results stay exact."""
+    from pacasam_spark.spatial.zorder import cluster_by_zorder
+
+    d = str(tmp_path / "abtbl")
+
+    def pts(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("patch_id"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), 40_000_000) / 1000.0).alias("x"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), 40_000_000) / 1000.0).alias("y"),
+        )
+
+    write_snapshot(
+        cluster_by_zorder(pts(0, 10_000), "x", "y", 8), d, stats_columns=["x", "y"]
+    )
+    write_snapshot(
+        cluster_by_zorder(pts(10_000, 20_000), "x", "y", 8),
+        d, mode="append", stats_columns=["x", "y"],
+    )
+    box = {"x": (3_000.0, 9_000.0), "y": (11_000.0, 17_000.0)}
+    pred = F.col("x").between(*box["x"]) & F.col("y").between(*box["y"])
+    full = read_snapshot(spark, d)
+    assert full.count() == 20_000
+    want = sorted(r["patch_id"] for r in full.filter(pred).collect())
+    pruned = read_snapshot(spark, d, bounds=box)
+    got = sorted(r["patch_id"] for r in pruned.filter(pred).collect())
+    assert got == want and len(got) > 0
+    files_read = pruned.select(F.input_file_name()).distinct().count()
+    assert files_read < 16  # pruning bit on both chain links
+
+
+def test_streaming_sink_append_mode_latest_is_cumulative(spark, tmp_path):
+    """mode='append' in the streaming sink: the LATEST version is the
+    cumulative sessions table (not just the last batch), and time
+    travel shows the table as of each batch."""
+    from pacasam_spark.streaming.snapshot_sink import snapshot_batch_writer
+
+    d = str(tmp_path / "strtbl")
+    writer = snapshot_batch_writer(d, query_id="q-1", mode="append")
+    mk = lambda lo, hi: spark.range(lo, hi).select(F.col("id").alias("user_id"))
+    writer(mk(0, 4), 0)
+    writer(mk(4, 6), 1)
+    writer(mk(4, 6), 1)  # crash replay: no new version
+    writer(mk(6, 7), 2)
+    hist = snapshots(d)
+    assert [m["metadata"]["batch_id"] for m in hist] == [0, 1, 2]
+    assert [m["total_row_count"] for m in hist] == [4, 6, 7]
+    assert read_snapshot(spark, d).count() == 7
+    assert read_snapshot(spark, d, version=2).count() == 6
