@@ -303,6 +303,39 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def compact_snapshots(
+    spark: SparkSession,
+    table_dir: str,
+    stats_columns: list[str] | None = None,
+    zorder: tuple[str, str] | None = None,
+    n_files: int = 32,
+) -> int:
+    """Rewrite the latest version's append chain into ONE overwrite
+    commit (Iceberg's rewrite_data_files + expire pattern): a long
+    streaming-append history accumulates many small files whose scans
+    pay a task per file; compaction reads the logical table once and
+    commits it as a single well-laid-out version, after which
+    ``expire_snapshots`` can reclaim the chain. ``zorder=(x, y)``
+    clusters the rewrite on the Morton curve (spatial/zorder.py) so the
+    recorded ``stats_columns`` bounds become selective again. The
+    commit is atomic like any snapshot commit — readers see the old
+    chain or the compacted version, never a half state."""
+    latest = read_snapshot(spark, table_dir)
+    parent = _committed_versions(table_dir)[-1]
+    if zorder is not None:
+        from pacasam_spark.spatial.zorder import cluster_by_zorder
+
+        latest = cluster_by_zorder(latest, zorder[0], zorder[1], n_files)
+        stats_columns = stats_columns or list(zorder)
+    return write_snapshot(
+        latest,
+        table_dir,
+        metadata={"compaction_of": parent},
+        stats_columns=stats_columns,
+        mode="overwrite",
+    )
+
+
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
     """Drop the DATA of committed snapshots older than the newest
     ``keep_last``, EXCEPT data still referenced by a kept version

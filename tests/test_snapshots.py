@@ -201,3 +201,48 @@ def test_streaming_sink_append_mode_latest_is_cumulative(spark, tmp_path):
     assert [m["total_row_count"] for m in hist] == [4, 6, 7]
     assert read_snapshot(spark, d).count() == 7
     assert read_snapshot(spark, d, version=2).count() == 6
+
+
+def test_compaction_rewrites_chain_into_one_clustered_version(spark, tmp_path):
+    """compact_snapshots folds an append chain into one overwrite commit
+    (same rows), optionally z-ordered so bounds pruning is selective
+    again; the old chain then becomes expirable."""
+    from pacasam_spark.sources.snapshots import compact_snapshots, prune_files
+
+    d = str(tmp_path / "ctbl")
+
+    def pts(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("patch_id"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), 40_000_000) / 1000.0).alias("x"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), 40_000_000) / 1000.0).alias("y"),
+        )
+
+    # a "streaming" history: many small appends, no layout
+    write_snapshot(pts(0, 4000).repartition(4), d, stats_columns=["x", "y"])
+    for i in range(1, 5):
+        write_snapshot(
+            pts(4000 * i, 4000 * (i + 1)).repartition(4),
+            d, mode="append", stats_columns=["x", "y"],
+        )
+    before = read_snapshot(spark, d)
+    want = sorted(r["patch_id"] for r in before.collect())
+    box = {"x": (3_000.0, 9_000.0), "y": (11_000.0, 17_000.0)}
+    # hash placement: nothing prunes
+    kept_before = sum(
+        len(prune_files(m, box)) for m in snapshots(d)
+    )
+    assert kept_before == 20
+
+    v = compact_snapshots(spark, d, zorder=("x", "y"), n_files=16)
+    m = snapshots(d)[-1]
+    assert m["version"] == v and m["commit_type"] == "overwrite"
+    assert m["metadata"]["compaction_of"] == 5
+    after = read_snapshot(spark, d)
+    assert sorted(r["patch_id"] for r in after.collect()) == want
+    # compacted layout prunes again
+    assert len(prune_files(m, box)) < 8
+    # and the chain is now reclaimable without touching the live version
+    expired = expire_snapshots(d, keep_last=1)
+    assert expired == [1, 2, 3, 4, 5]
+    assert read_snapshot(spark, d).count() == 20_000
