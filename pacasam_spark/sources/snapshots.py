@@ -84,16 +84,34 @@ def _load_manifest(table_dir: str, version: int) -> dict:
 
 def _resolve_chain(table_dir: str, version: int) -> list[dict]:
     """Manifests whose data files make up the given version's logical
-    table: the version itself plus, through contiguous APPEND links, its
-    ancestors. An overwrite commit terminates the walk — it replaced the
-    table. Newest first."""
+    table: the version itself plus, through contiguous APPEND/UPSERT
+    links, its ancestors. An overwrite commit terminates the walk — it
+    replaced the table. Newest first."""
     chain = [_load_manifest(table_dir, version)]
     while (
-        chain[-1].get("commit_type", "overwrite") == "append"
+        chain[-1].get("commit_type", "overwrite") in ("append", "upsert")
         and chain[-1]["parent_version"] is not None
     ):
         chain.append(_load_manifest(table_dir, chain[-1]["parent_version"]))
     return chain
+
+
+def _live_files(chain: list[dict]) -> list[tuple[dict, str]]:
+    """(owning manifest, file basename) pairs that make up the newest
+    chain member's logical table: every chain member's files, minus
+    files LOGICALLY REMOVED by a newer upsert commit (the manifest's
+    ``removed`` list of [version, file] pairs — removal is metadata
+    only; the bytes stay on disk until the version expires, which is
+    what keeps time travel to pre-upsert versions working)."""
+    removed: set[tuple[int, str]] = set()
+    out = []
+    for m in chain:  # newest first: removals only ever point backwards
+        for f in sorted(m["files"]):
+            if (m["version"], f) not in removed:
+                out.append((m, f))
+        for v, f in m.get("removed", []):
+            removed.add((int(v), f))
+    return out
 
 
 def write_snapshot(
@@ -102,6 +120,8 @@ def write_snapshot(
     metadata: dict | None = None,
     stats_columns: list[str] | None = None,
     mode: str = "overwrite",
+    _removed: list[tuple[int, str]] | None = None,
+    _removed_rows: int = 0,
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``; returns the
     new version number. One extra aggregation over the written files
@@ -127,9 +147,12 @@ def write_snapshot(
     chain at read time — no data is copied, the 100 TB ingest pattern).
     Appends require ``df``'s schema to equal the parent table's schema
     (raises ``ValueError`` otherwise, like Iceberg's append validation);
-    an append onto an empty table degrades to an overwrite."""
-    if mode not in ("overwrite", "append"):
-        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    an append onto an empty table degrades to an overwrite.
+    ``mode="upsert"`` is internal plumbing for :func:`upsert_snapshot`
+    (which computes ``_removed``/``_removed_rows``) — the commit adds
+    ``df``'s files AND logically removes the listed parent files."""
+    if mode not in ("overwrite", "append", "upsert"):
+        raise ValueError(f"mode must be overwrite|append|upsert, got {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
     version = (_versions(table_dir) or [0])[-1] + 1
     vdir = _vdir(table_dir, version)
@@ -137,9 +160,9 @@ def write_snapshot(
     committed = _committed_versions(table_dir)
     parent = committed[-1] if committed else None
     parent_total = 0
-    if mode == "append" and parent is None:
+    if mode in ("append", "upsert") and parent is None:
         mode = "overwrite"  # appending to an empty table creates it
-    if mode == "append":
+    if mode in ("append", "upsert"):
         # validate BEFORE writing any data (Iceberg append validation);
         # compare name+type only — parquet round-trips relax nullability
         parent_manifest = _load_manifest(table_dir, parent)
@@ -153,7 +176,8 @@ def write_snapshot(
                 f"schema; use mode='overwrite' to replace the table"
             )
         parent_total = parent_manifest.get("total_row_count") or sum(
-            m["row_count"] for m in _resolve_chain(table_dir, parent)
+            m["files"][f]
+            for m, f in _live_files(_resolve_chain(table_dir, parent))
         )
     df.write.mode("overwrite").parquet(data_dir)
 
@@ -175,7 +199,12 @@ def write_snapshot(
         # rows ADDED by this commit (old readers sum these per version);
         # total_row_count is the logical table size after the commit
         "row_count": sum(r["count"] for r in parts),
-        "total_row_count": parent_total + sum(r["count"] for r in parts),
+        "total_row_count": parent_total
+        - _removed_rows
+        + sum(r["count"] for r in parts),
+        # files of ANCESTOR versions this commit logically removes
+        # (upsert's copy-on-write rewrite targets); [[version, file], ...]
+        "removed": [[int(v), f] for v, f in (_removed or [])],
         "schema": written.schema.jsonValue(),
         "files": {os.path.basename(r["file"]): r["count"] for r in parts},
         # per-file column bounds (Iceberg lower_bounds/upper_bounds):
@@ -286,14 +315,18 @@ def read_snapshot(
             )
     if bounds is None and len(chain) == 1:
         return spark.read.parquet(os.path.join(_vdir(table_dir, version), "data"))
-    # explicit file list: the version's own files plus — through append
-    # links — its ancestors', each pruned against its OWN manifest's
-    # per-file bounds (append schemas are validated at commit, so the
-    # newest manifest's schema reads every contributing file)
+    # explicit file list: the version's live files (own + — through
+    # append/upsert links — ancestors', minus upsert-removed ones), each
+    # pruned against its OWN manifest's per-file bounds (append/upsert
+    # schemas are validated at commit, so the newest manifest's schema
+    # reads every contributing file)
+    kept_per_version = {
+        m["version"]: set(prune_files(m, bounds)) for m in chain
+    }
     paths = [
         os.path.join(_vdir(table_dir, m["version"]), "data", f)
-        for m in chain
-        for f in prune_files(m, bounds)
+        for m, f in _live_files(chain)
+        if f in kept_per_version[m["version"]]
     ]
     from pyspark.sql.types import StructType
 
@@ -301,6 +334,98 @@ def read_snapshot(
     if not paths:  # every file pruned — empty result, manifest schema
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    key: str,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """Copy-on-write MERGE (Iceberg's ``MERGE INTO ... WHEN MATCHED THEN
+    UPDATE WHEN NOT MATCHED THEN INSERT`` with copy-on-write): rows of
+    ``df`` REPLACE table rows sharing their ``key`` and new keys are
+    inserted — rewriting ONLY the files that can contain a matching
+    key, never the whole table.
+
+    The affected-file set comes from the manifests' per-file min/max
+    stats on ``key`` (record them via ``stats_columns=[key]`` at write
+    time — on a key-clustered layout the rewrite touches a handful of
+    files): ``df``'s distinct keys are joined against the tiny
+    broadcast file-range table, so a file is rewritten only if SOME
+    upsert key lands inside its [min, max] (a single lo/hi envelope of
+    the upsert keys would mark everything affected whenever one low
+    update meets one high insert); files without key stats are
+    rewritten conservatively. The commit writes (affected
+    rows with matching keys dropped) ∪ ``df`` as its own files and
+    logically removes the affected ancestor files in the manifest —
+    bytes stay on disk, so time travel to pre-upsert versions still
+    works, and expiry reclaims them when their version leaves every
+    live chain. Atomic like every commit: readers see the old table or
+    the new one, never a half-merge.
+    """
+    committed = _committed_versions(table_dir)
+    if not committed:
+        return write_snapshot(
+            df, table_dir, stats_columns=stats_columns, mode="overwrite"
+        )
+    chain = _resolve_chain(table_dir, committed[-1])
+    from pyspark.sql.types import StructType
+
+    table_schema = StructType.fromJson(chain[0]["schema"])
+    affected: list[tuple[dict, str]] = []
+    ranged: list[tuple[dict, str, object, object]] = []
+    for m, f in _live_files(chain):
+        st = m.get("file_stats", {}).get(f, {}).get(key)
+        if st is None or st[0] is None:
+            # no key stats (or all-null file): rewrite conservatively
+            affected.append((m, f))
+        else:
+            ranged.append((m, f, st[0], st[1]))
+    if ranged:
+        ktype = table_schema[key].dataType.simpleString()
+        rdf = spark.createDataFrame(
+            [(m["version"], f, lo, hi) for m, f, lo, hi in ranged],
+            f"v long, f string, lo {ktype}, hi {ktype}",
+        )
+        hits = {
+            (r["v"], r["f"])
+            for r in df.select(F.col(key).alias("__k"))
+            .distinct()
+            .join(
+                F.broadcast(rdf),
+                (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
+            )
+            .select("v", "f")
+            .distinct()
+            .collect()
+        }
+        affected += [
+            (m, f) for m, f, _lo, _hi in ranged if (m["version"], f) in hits
+        ]
+    removed_rows = sum(m["files"][f] for m, f in affected)
+
+    if affected:
+        old = spark.read.schema(table_schema).parquet(
+            *(
+                os.path.join(_vdir(table_dir, m["version"]), "data", f)
+                for m, f in affected
+            )
+        )
+        kept_old = old.join(df.select(key).distinct(), on=key, how="left_anti")
+        new_data = kept_old.unionByName(df.select(*old.columns))
+    else:
+        new_data = df
+    return write_snapshot(
+        new_data,
+        table_dir,
+        metadata={"upsert_key": key, "files_rewritten": len(affected)},
+        stats_columns=stats_columns,
+        mode="upsert",
+        _removed=[(m["version"], f) for m, f in affected],
+        _removed_rows=removed_rows,
+    )
 
 
 def compact_snapshots(

@@ -246,3 +246,94 @@ def test_compaction_rewrites_chain_into_one_clustered_version(spark, tmp_path):
     expired = expire_snapshots(d, keep_last=1)
     assert expired == [1, 2, 3, 4, 5]
     assert read_snapshot(spark, d).count() == 20_000
+
+
+def test_upsert_rewrites_only_key_overlapping_files(spark, tmp_path):
+    """Copy-on-write MERGE: rows with matching keys are replaced, new
+    keys inserted, and with per-file key stats on a key-clustered
+    layout only the overlapping files are rewritten — the rest are
+    carried forward untouched and stay readable from their original
+    version dirs."""
+    from pacasam_spark.sources.snapshots import upsert_snapshot
+
+    d = str(tmp_path / "utbl")
+
+    def rows(lo, hi, val):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("patch_id"), F.lit(val).alias("v")
+        )
+
+    # key-clustered layout: 8 files with disjoint patch_id ranges,
+    # stats recorded on the key
+    write_snapshot(
+        rows(0, 8000, "old").repartitionByRange(8, "patch_id"),
+        d, stats_columns=["patch_id"],
+    )
+    # update keys 100..199, insert keys 9000..9049 — touches ONE file
+    up = rows(100, 200, "new").unionByName(rows(9000, 9050, "new"))
+    v = upsert_snapshot(spark, d, up, key="patch_id", stats_columns=["patch_id"])
+    m = snapshots(d)[-1]
+    assert v == 2 and m["commit_type"] == "upsert"
+    assert m["metadata"] == {"upsert_key": "patch_id", "files_rewritten": 1}
+    assert len(m["removed"]) == 1 and m["removed"][0][0] == 1
+    assert m["total_row_count"] == 8050
+
+    out = read_snapshot(spark, d)
+    assert out.count() == 8050
+    got = {r["patch_id"]: r["v"] for r in out.collect()}
+    assert all(got[i] == "new" for i in range(100, 200))
+    assert all(got[i] == "new" for i in range(9000, 9050))
+    assert got[50] == "old" and got[7999] == "old"
+    # untouched files are served from v1's data dir (no copy)
+    srcs = {
+        r["f"]
+        for r in out.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert sum("v00001" in s for s in srcs) == 7
+    # time travel: the pre-upsert version still reads the OLD values
+    v1 = {r["patch_id"]: r["v"] for r in read_snapshot(spark, d, version=1).collect()}
+    assert v1[150] == "old" and len(v1) == 8000
+
+
+def test_upsert_without_key_stats_is_conservative_but_exact(spark, tmp_path):
+    from pacasam_spark.sources.snapshots import upsert_snapshot
+
+    d = str(tmp_path / "utbl2")
+    df = spark.range(100).select(F.col("id").alias("patch_id"), F.lit("a").alias("v"))
+    write_snapshot(df.repartition(4), d)  # no stats recorded
+    up = spark.range(10, 20).select(F.col("id").alias("patch_id"), F.lit("b").alias("v"))
+    upsert_snapshot(spark, d, up, key="patch_id")
+    m = snapshots(d)[-1]
+    assert m["metadata"]["files_rewritten"] == 4  # all of them
+    got = {r["patch_id"]: r["v"] for r in read_snapshot(spark, d).collect()}
+    assert len(got) == 100
+    assert all(got[i] == ("b" if 10 <= i < 20 else "a") for i in range(100))
+
+
+def test_chained_upserts_and_appends_resolve_correctly(spark, tmp_path):
+    """upsert -> append -> upsert chains: removals accumulate, totals
+    track, and the latest read is exact."""
+    from pacasam_spark.sources.snapshots import upsert_snapshot
+
+    d = str(tmp_path / "utbl3")
+
+    def rows(ids, val):
+        return spark.createDataFrame(
+            [(i, val) for i in ids], "patch_id long, v string"
+        )
+
+    write_snapshot(
+        rows(range(100), "v1").repartitionByRange(4, "patch_id"),
+        d, stats_columns=["patch_id"],
+    )
+    upsert_snapshot(spark, d, rows([5, 6], "v2"), "patch_id",
+                    stats_columns=["patch_id"])
+    write_snapshot(rows(range(100, 110), "v3"), d, mode="append",
+                   stats_columns=["patch_id"])
+    upsert_snapshot(spark, d, rows([5, 105, 200], "v4"), "patch_id",
+                    stats_columns=["patch_id"])
+    assert snapshots(d)[-1]["total_row_count"] == 111
+    got = {r["patch_id"]: r["v"] for r in read_snapshot(spark, d).collect()}
+    assert len(got) == 111
+    assert got[5] == "v4" and got[6] == "v2" and got[105] == "v4"
+    assert got[200] == "v4" and got[0] == "v1" and got[100] == "v3"
