@@ -336,6 +336,61 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental read (Iceberg's append scan): the rows ADDED by the
+    commits AFTER ``from_version`` up to and including ``to_version``
+    (default: latest) — exactly each version's own files, no full-table
+    scan, so a downstream consumer polling a growing table does O(new
+    rows) work per poll (checkpoint = the last version it processed).
+
+    Only APPEND commits have pure added-rows semantics; an overwrite or
+    upsert in the range raises (like Iceberg's incremental scan —
+    rewritten rows are not 'changes' and silently re-emitting them
+    would double-process), and the caller falls back to a full read."""
+    committed = _committed_versions(table_dir)
+    if to_version is None:
+        to_version = committed[-1] if committed else from_version
+    if from_version == to_version:
+        raise ValueError("empty version range: nothing committed since "
+                         f"v{from_version:05d}")
+    span = [v for v in committed if from_version < v <= to_version]
+    if not span or span[-1] != to_version or from_version not in (
+        0, *committed
+    ):
+        raise FileNotFoundError(
+            f"version range ({from_version}, {to_version}] is not fully "
+            f"committed in {table_dir} (committed: {committed})"
+        )
+    manifests = [_load_manifest(table_dir, v) for v in span]
+    bad = [
+        m["version"]
+        for m in manifests
+        if m.get("commit_type", "overwrite") != "append"
+    ]
+    if bad:
+        raise ValueError(
+            f"incremental read only supports append commits; versions "
+            f"{bad} of {table_dir} are overwrite/upsert — read the "
+            "snapshot fully instead"
+        )
+    from pyspark.sql.types import StructType
+
+    paths = [
+        os.path.join(_vdir(table_dir, m["version"]), "data", f)
+        for m in manifests
+        for f in sorted(m["files"])
+    ]
+    schema = StructType.fromJson(manifests[-1]["schema"])
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
 def upsert_snapshot(
     spark: SparkSession,
     table_dir: str,

@@ -337,3 +337,44 @@ def test_chained_upserts_and_appends_resolve_correctly(spark, tmp_path):
     assert len(got) == 111
     assert got[5] == "v4" and got[6] == "v2" and got[105] == "v4"
     assert got[200] == "v4" and got[0] == "v1" and got[100] == "v3"
+
+
+def test_snapshot_changes_incremental_read(spark, tmp_path):
+    """Incremental (append-scan) read: exactly the rows added after the
+    checkpointed version, no full-table scan; overwrite/upsert commits
+    in the range refuse rather than double-emit rewritten rows."""
+    from pacasam_spark.sources.snapshots import snapshot_changes, upsert_snapshot
+
+    d = str(tmp_path / "inc")
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("patch_id"))
+
+    write_snapshot(rows(0, 10), d)                       # v1 overwrite
+    write_snapshot(rows(10, 25), d, mode="append")       # v2
+    write_snapshot(rows(25, 30), d, mode="append")       # v3
+
+    got = sorted(
+        r["patch_id"] for r in snapshot_changes(spark, d, from_version=1).collect()
+    )
+    assert got == list(range(10, 30))
+    got2 = sorted(
+        r["patch_id"]
+        for r in snapshot_changes(spark, d, 1, to_version=2).collect()
+    )
+    assert got2 == list(range(10, 25))
+    # the incremental read touches only the span's files
+    inc = snapshot_changes(spark, d, 2)
+    srcs = {r["f"] for r in inc.select(F.input_file_name().alias("f")).distinct().collect()}
+    assert all("v00003" in s for s in srcs)
+
+    with pytest.raises(ValueError, match="nothing committed"):
+        snapshot_changes(spark, d, 3)
+    with pytest.raises(FileNotFoundError, match="not fully committed"):
+        snapshot_changes(spark, d, 1, to_version=9)
+    # an overwrite in the range is not an incremental change stream
+    with pytest.raises(ValueError, match="overwrite/upsert"):
+        snapshot_changes(spark, d, 0, to_version=2)
+    upsert_snapshot(spark, d, rows(5, 7), "patch_id")    # v4 upsert
+    with pytest.raises(ValueError, match="overwrite/upsert"):
+        snapshot_changes(spark, d, 3)
