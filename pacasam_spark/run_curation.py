@@ -56,7 +56,17 @@ DEDUP_METHODS = ("exact", "minhash", "simhash", "phash", "cosine", "none")
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default=None, help="YAML curation config")
-    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--input", default=None, help="documents parquet path")
+    p.add_argument("--input-table", default=None,
+                   help="documents SNAPSHOT TABLE dir (sources.snapshots) "
+                        "instead of a plain parquet path")
+    p.add_argument("--since-version", type=int, default=None,
+                   help="with --input-table: curate ONLY the documents "
+                        "appended after this committed version (the "
+                        "incremental append scan — O(new docs) per run; "
+                        "store the summary's input_to_version as the next "
+                        "run's --since-version). Dedup then applies WITHIN "
+                        "the increment; global dedup needs a full run.")
     p.add_argument("--output", required=True)
     p.add_argument(
         "--method", default=None, choices=DEDUP_METHODS,
@@ -162,7 +172,25 @@ def run(args: argparse.Namespace) -> dict:
         dcf["method"] = args.method
 
     spark = get_spark(app_name=f"run_curation_{dcf.get('method', 'minhash')}")
-    docs = spark.read.parquet(args.input)
+    if (args.input is None) == (args.input_table is None):
+        raise ValueError("exactly one of --input / --input-table is required")
+    input_to_version = None
+    if args.input_table:
+        from pacasam_spark.sources.snapshots import (
+            latest_version,
+            read_snapshot,
+            snapshot_changes,
+        )
+
+        input_to_version = latest_version(args.input_table)
+        if args.since_version is not None:
+            docs = snapshot_changes(
+                spark, args.input_table, args.since_version, input_to_version
+            )
+        else:
+            docs = read_snapshot(spark, args.input_table)
+    else:
+        docs = spark.read.parquet(args.input)
     n_input = docs.count()
 
     # quality stage: flags + funnel report, then the survivor projection
@@ -208,7 +236,12 @@ def run(args: argparse.Namespace) -> dict:
                 "n_input": n_input,
                 "n_quality_survivors": n_quality,
                 "n_final": n_final,
+                "input_to_version": input_to_version,
             },
+            # an incremental run curates only the new documents, so its
+            # output chains onto the previous corpus version — the
+            # cumulative curated corpus stays one read_snapshot away
+            mode="append" if args.since_version is not None else "overwrite",
         )
 
     summary = {
@@ -219,6 +252,9 @@ def run(args: argparse.Namespace) -> dict:
         "corpus_path": corpus_path,
         "gopher_report": report,
         "snapshot_version": snapshot_version,
+        # incremental-consumer checkpoint: pass as the next run's
+        # --since-version (null for plain --input runs)
+        "input_to_version": input_to_version,
     }
     print(json.dumps(summary))
     return summary

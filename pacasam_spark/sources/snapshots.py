@@ -238,6 +238,15 @@ def write_snapshot(
     return version
 
 
+def latest_version(table_dir: str) -> int:
+    """Newest committed version number (the checkpoint an incremental
+    consumer stores after a :func:`snapshot_changes` poll)."""
+    committed = _committed_versions(table_dir)
+    if not committed:
+        raise FileNotFoundError(f"no committed snapshots under {table_dir}")
+    return committed[-1]
+
+
 def snapshots(table_dir: str) -> list[dict]:
     """All committed manifests, oldest first — the table's history."""
     out = []

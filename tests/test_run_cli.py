@@ -408,3 +408,57 @@ def test_run_curation_cosine_method(spark, tmp_path):
     curated = spark.read.parquet(f"{out}/corpus")
     assert curated.filter(F.col("doc_id") >= 5000).count() == 0
     assert 0 < curated.count() <= 60
+
+
+def test_run_curation_incremental_over_snapshot_table(spark, tmp_path):
+    """The ingest->curate increment loop: batch B lands as an append on
+    the input snapshot table; run_curation --since-version curates ONLY
+    batch B (O(new docs)) and appends its survivors onto the curated
+    corpus table, whose latest version is the cumulative corpus."""
+    from pacasam_spark.run_curation import build_parser, run
+    from pacasam_spark.sources.snapshots import (
+        read_snapshot,
+        snapshots,
+        write_snapshot,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+        .cache()
+    )
+    batch_a = docs.filter(F.col("doc_id") < 40)
+    # batch B: 40 docs planted twice -> exact dedup halves it
+    batch_b0 = docs.filter(F.col("doc_id") >= 40)
+    batch_b = batch_b0.unionByName(
+        batch_b0.select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    )
+    intbl = str(tmp_path / "docs_tbl")
+    outtbl = str(tmp_path / "corpus_tbl")
+    write_snapshot(batch_a, intbl)
+
+    # full run over v1
+    common = ["--output", str(tmp_path / "o1"), "--input-table", intbl,
+              "--snapshot-dir", outtbl, "--method", "exact", "--no-quality"]
+    s1 = run(build_parser().parse_args(common))
+    assert (s1["n_input"], s1["input_to_version"]) == (40, 1)
+    assert snapshots(outtbl)[-1]["commit_type"] == "overwrite"
+
+    # batch B arrives; incremental run curates only it
+    write_snapshot(batch_b, intbl, mode="append")
+    s2 = run(build_parser().parse_args(
+        ["--output", str(tmp_path / "o2"), "--input-table", intbl,
+         "--snapshot-dir", outtbl, "--method", "exact", "--no-quality",
+         "--since-version", str(s1["input_to_version"])]
+    ))
+    assert s2["n_input"] == 80  # batch B only, not A again
+    assert s2["n_final"] == 40  # exact dedup collapsed the plants
+    assert s2["input_to_version"] == 2
+    m = snapshots(outtbl)[-1]
+    assert m["commit_type"] == "append"
+    assert m["metadata"]["input_to_version"] == 2
+
+    corpus = read_snapshot(spark, outtbl)
+    got = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    assert got == list(range(80))  # cumulative, min-id survivors only
