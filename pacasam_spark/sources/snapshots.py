@@ -43,6 +43,7 @@ import os
 import re
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -229,6 +230,8 @@ def write_snapshot(
             for r in parts
         },
         "metadata": metadata or {},
+        # wall-clock commit instant (epoch seconds) — AS OF time travel
+        "committed_at": time.time(),
     }
     # atomic commit: manifest appears fully written or not at all
     fd, tmp = tempfile.mkstemp(dir=vdir, suffix=".manifest.tmp")
@@ -294,9 +297,12 @@ def read_snapshot(
     table_dir: str,
     version: int | None = None,
     bounds: dict[str, tuple] | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
-    """Time-travel read: the latest committed snapshot, or an explicit
-    committed version. Uncommitted (crashed) writes are invisible.
+    """Time-travel read: the latest committed snapshot, an explicit
+    committed version, or — via ``as_of`` (epoch seconds, Iceberg's
+    ``FOR TIMESTAMP AS OF``) — the newest version committed at or
+    before that instant. Uncommitted (crashed) writes are invisible.
 
     ``bounds`` ({col: (lo, hi)} inclusive) prunes files via the
     manifest's per-file min/max stats (:func:`prune_files`) — the
@@ -307,6 +313,19 @@ def read_snapshot(
     committed = _committed_versions(table_dir)
     if not committed:
         raise FileNotFoundError(f"no committed snapshots under {table_dir}")
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        eligible = [
+            v
+            for v in committed
+            if _load_manifest(table_dir, v).get("committed_at", 0.0) <= as_of
+        ]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no snapshot of {table_dir} committed at or before {as_of}"
+            )
+        version = eligible[-1]
     if version is None:
         version = committed[-1]
     if version not in committed:

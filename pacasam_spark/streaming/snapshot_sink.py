@@ -101,7 +101,11 @@ def snapshot_batch_writer(
     the union of versions). ``"append"`` chains each batch onto the
     previous version, so ``read_snapshot(latest)`` IS the cumulative
     table and time travel shows the table as of any batch — the Iceberg
-    streaming-sink shape; expire keeps chained data alive.
+    streaming-sink shape; expire keeps chained data alive. Reads walk
+    one manifest per chained batch, so a long-running append stream
+    should periodically fold its history with
+    ``sources.snapshots.compact_snapshots`` (then expire), exactly like
+    Iceberg's rewrite_data_files maintenance on streaming tables.
     """
     state: dict = {"committed": None, "query_id": query_id}
 
