@@ -188,7 +188,13 @@ def run(args: argparse.Namespace) -> dict:
                 spark, args.input_table, args.since_version, input_to_version
             )
         else:
-            docs = read_snapshot(spark, args.input_table)
+            # pin the read to the recorded checkpoint: an unpinned read
+            # racing a concurrent commit would curate rows newer than
+            # input_to_version, and the next --since-version run would
+            # re-curate them (round-6 ADVICE)
+            docs = read_snapshot(
+                spark, args.input_table, version=input_to_version
+            )
     else:
         docs = spark.read.parquet(args.input)
     n_input = docs.count()
@@ -204,7 +210,9 @@ def run(args: argparse.Namespace) -> dict:
         survivors = docs.join(
             flags.filter("keep").select(id_col), id_col, "left_semi"
         )
-        n_quality = survivors.count()
+        # count on the PERSISTED flags, not on the semi-join — the join
+        # would rescan the input once more just for the funnel number
+        n_quality = flags.filter("keep").count()
     else:
         report = None
         survivors = docs

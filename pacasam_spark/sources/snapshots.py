@@ -50,6 +50,41 @@ from pyspark.sql import functions as F
 
 _VDIR = re.compile(r"^v(\d{5})$")
 
+# column types whose min/max survive a JSON round-trip (natively or via
+# the coercion below). Binary/array/struct stats are rejected up front:
+# discovering the TypeError after the parquet data is written would leave
+# an orphaned uncommitted version dir (round-6 ADVICE).
+_STATS_OK = ("tinyint", "smallint", "int", "bigint", "float", "double",
+             "string", "boolean", "date", "timestamp", "decimal")
+
+
+def _stat_to_json(v):
+    """JSON-safe form of a per-file min/max value. date/timestamp become
+    fixed-width ISO strings (lexicographic order == chronological order,
+    and Spark casts them back losslessly); Decimal becomes str (compared
+    in the Decimal domain by the pruner)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return v
+
+
+def _check_stats_columns(df: DataFrame, stats_columns: list[str] | None) -> None:
+    for c in stats_columns or []:
+        t = df.schema[c].dataType.simpleString()
+        if not t.startswith(_STATS_OK):
+            raise ValueError(
+                f"stats_columns type {t!r} for {c!r} has no JSON-safe "
+                "min/max representation; record stats on numeric, string, "
+                "boolean, date, timestamp or decimal columns"
+            )
+
 
 def _versions(table_dir: str) -> list[int]:
     if not os.path.isdir(table_dir):
@@ -154,6 +189,7 @@ def write_snapshot(
     ``df``'s files AND logically removes the listed parent files."""
     if mode not in ("overwrite", "append", "upsert"):
         raise ValueError(f"mode must be overwrite|append|upsert, got {mode!r}")
+    _check_stats_columns(df, stats_columns)
     os.makedirs(table_dir, exist_ok=True)
     version = (_versions(table_dir) or [0])[-1] + 1
     vdir = _vdir(table_dir, version)
@@ -213,7 +249,7 @@ def write_snapshot(
         # recorded as null and treated conservatively by the pruner.
         "file_stats": {
             os.path.basename(r["file"]): {
-                c: [r[f"__min_{c}"], r[f"__max_{c}"]]
+                c: [_stat_to_json(r[f"__min_{c}"]), _stat_to_json(r[f"__max_{c}"])]
                 for c in stats_columns
             }
             for r in parts
@@ -270,10 +306,20 @@ def prune_files(
     time, or an all-null file) keep the file. Pruning never changes a
     query's result — callers still apply the exact predicate; it only
     changes which files the scan has to touch."""
+    import decimal
+
     files = sorted(manifest["files"])
     if not bounds:
         return files
     stats = manifest.get("file_stats", {})
+
+    def norm(bound_val, stat_val):
+        # bring the user's bound and the manifest's (possibly
+        # JSON-coerced) stat into one comparable domain
+        if isinstance(bound_val, decimal.Decimal):
+            return bound_val, decimal.Decimal(str(stat_val))
+        return _stat_to_json(bound_val), stat_val
+
     kept = []
     for f in files:
         fstats = stats.get(f, {})
@@ -283,10 +329,14 @@ def prune_files(
             fmin, fmax = fstats[col]
             if fmin is None or fmax is None:
                 continue  # all-null file — cannot exclude on range
-            if (hi is not None and fmin > hi) or (
-                lo is not None and fmax < lo
-            ):
-                break  # provably disjoint from the query range
+            if hi is not None:
+                chi, cmin = norm(hi, fmin)
+                if cmin > chi:
+                    break  # provably disjoint from the query range
+            if lo is not None:
+                clo, cmax = norm(lo, fmax)
+                if cmax < clo:
+                    break
         else:
             kept.append(f)
     return kept
@@ -384,8 +434,21 @@ def snapshot_changes(
     if to_version is None:
         to_version = committed[-1] if committed else from_version
     if from_version == to_version:
-        raise ValueError("empty version range: nothing committed since "
-                         f"v{from_version:05d}")
+        # empty range — nothing committed since the checkpoint. Iceberg's
+        # incremental scan returns EMPTY here (an idle-polling consumer
+        # must not crash); keep the latest manifest's schema so downstream
+        # plans still analyze.
+        if from_version not in committed:
+            raise FileNotFoundError(
+                f"checkpoint v{from_version:05d} of {table_dir} was never "
+                f"committed (committed: {committed})"
+            )
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(
+            _load_manifest(table_dir, from_version)["schema"]
+        )
+        return spark.createDataFrame([], schema)
     span = [v for v in committed if from_version < v <= to_version]
     if not span or span[-1] != to_version or from_version not in (
         0, *committed
@@ -448,6 +511,18 @@ def upsert_snapshot(
     live chain. Atomic like every commit: readers see the old table or
     the new one, never a half-merge.
     """
+    # MERGE semantics require the source keys to be unique — Iceberg
+    # raises when several source rows match one target row; silently
+    # inserting both would commit a duplicate-key table (round-6 ADVICE).
+    dup = (
+        df.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"upsert source has duplicate {key!r} values (e.g. "
+            f"{dup[0][key]!r}); MERGE needs one source row per key — "
+            "pre-aggregate the source"
+        )
     committed = _committed_versions(table_dir)
     if not committed:
         return write_snapshot(
@@ -468,9 +543,16 @@ def upsert_snapshot(
             ranged.append((m, f, st[0], st[1]))
     if ranged:
         ktype = table_schema[key].dataType.simpleString()
+        # manifest stats may be JSON-coerced (date/timestamp/decimal ->
+        # string); ship them as strings and cast back to the key type —
+        # exact for every _STATS_OK type
         rdf = spark.createDataFrame(
-            [(m["version"], f, lo, hi) for m, f, lo, hi in ranged],
-            f"v long, f string, lo {ktype}, hi {ktype}",
+            [(m["version"], f, str(lo), str(hi)) for m, f, lo, hi in ranged],
+            "v long, f string, lo string, hi string",
+        ).select(
+            "v", "f",
+            F.col("lo").cast(ktype).alias("lo"),
+            F.col("hi").cast(ktype).alias("hi"),
         )
         hits = {
             (r["v"], r["f"])
@@ -496,7 +578,12 @@ def upsert_snapshot(
                 for m, f in affected
             )
         )
-        kept_old = old.join(df.select(key).distinct(), on=key, how="left_anti")
+        # the join moves the key column to the front — restore the table's
+        # column order or the commit-time schema validation rejects any
+        # upsert keyed on a non-first column
+        kept_old = old.join(
+            df.select(key).distinct(), on=key, how="left_anti"
+        ).select(*old.columns)
         new_data = kept_old.unionByName(df.select(*old.columns))
     else:
         new_data = df

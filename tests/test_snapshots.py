@@ -368,8 +368,14 @@ def test_snapshot_changes_incremental_read(spark, tmp_path):
     srcs = {r["f"] for r in inc.select(F.input_file_name().alias("f")).distinct().collect()}
     assert all("v00003" in s for s in srcs)
 
-    with pytest.raises(ValueError, match="nothing committed"):
-        snapshot_changes(spark, d, 3)
+    # empty range (idle poll: nothing committed since the checkpoint)
+    # returns EMPTY with the manifest schema — Iceberg's incremental
+    # scan semantics; a scheduled consumer must not crash on a quiet hour
+    idle = snapshot_changes(spark, d, 3)
+    assert idle.count() == 0
+    assert idle.schema.fieldNames() == ["patch_id"]
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        snapshot_changes(spark, d, 7, to_version=7)
     with pytest.raises(FileNotFoundError, match="not fully committed"):
         snapshot_changes(spark, d, 1, to_version=9)
     # an overwrite in the range is not an incremental change stream
@@ -378,6 +384,79 @@ def test_snapshot_changes_incremental_read(spark, tmp_path):
     upsert_snapshot(spark, d, rows(5, 7), "patch_id")    # v4 upsert
     with pytest.raises(ValueError, match="overwrite/upsert"):
         snapshot_changes(spark, d, 3)
+
+
+def test_upsert_duplicate_source_keys_raise(spark, tmp_path):
+    """MERGE needs one source row per key: silently keeping both rows of
+    a duplicate-key source would commit a duplicate-key table (Iceberg
+    raises on multiple matching source rows)."""
+    from pacasam_spark.sources.snapshots import upsert_snapshot
+
+    d = str(tmp_path / "dup")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "patch_id long, v string"), d
+    )
+    dup = spark.createDataFrame(
+        [(2, "x"), (2, "y")], "patch_id long, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate 'patch_id'"):
+        upsert_snapshot(spark, d, dup, key="patch_id")
+    # the refused upsert committed nothing
+    assert [m["version"] for m in snapshots(d)] == [1]
+
+
+def test_stats_on_temporal_and_decimal_columns(spark, tmp_path):
+    """Per-file min/max on date/timestamp/decimal columns: JSON-coerced
+    in the manifest, still exact for bounds pruning and for upsert's
+    affected-file detection (round-6 ADVICE: json.dump used to raise
+    AFTER the data was written, orphaning the version dir)."""
+    import datetime
+    from decimal import Decimal
+
+    from pacasam_spark.sources.snapshots import prune_files, upsert_snapshot
+
+    d = str(tmp_path / "temporal")
+    df = spark.sql(
+        "select id, date_add(date'2026-01-01', cast(id as int)) as day, "
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) as ts, "
+        "cast(cast(id as decimal(10,2)) / 4 as decimal(12,2)) as price "
+        "from range(1000)"
+    ).repartitionByRange(4, "id")
+    write_snapshot(df, d, stats_columns=["day", "ts", "price"])
+    m = snapshots(d)[-1]
+    # manifest is valid JSON with string-coerced temporal stats
+    some = next(iter(m["file_stats"].values()))
+    assert isinstance(some["day"][0], str) and isinstance(some["ts"][0], str)
+
+    # bounds pruning with python date / Decimal bound values
+    day_bounds = {"day": (datetime.date(2026, 1, 2), datetime.date(2026, 1, 4))}
+    assert 1 <= len(prune_files(m, day_bounds)) < len(m["files"])
+    got = read_snapshot(spark, d, bounds=day_bounds).filter(
+        "day between date'2026-01-02' and date'2026-01-04'"
+    )
+    assert got.count() == 3
+    assert len(prune_files(m, {"price": (Decimal("2.00"), Decimal("3.00"))})) < len(
+        m["files"]
+    )
+
+    # upsert keyed on a DATE column round-trips through the string stats
+    up = spark.sql(
+        "select date'2026-01-05' as day, timestamp'2030-01-01 00:00:00' as ts, "
+        "cast(9.99 as decimal(12,2)) as price, cast(9999 as bigint) as id"
+    ).select("id", "day", "ts", "price")
+    upsert_snapshot(spark, d, up, key="day", stats_columns=["day", "ts", "price"])
+    m2 = snapshots(d)[-1]
+    assert m2["metadata"]["files_rewritten"] == 1  # only the overlapping file
+    out = read_snapshot(spark, d).filter("day = date'2026-01-05'").collect()
+    assert len(out) == 1 and out[0]["id"] == 9999
+
+    # unsupported stats type is rejected BEFORE any data is written
+    bad = spark.sql("select id, cast('ab' as binary) as blob from range(3)")
+    with pytest.raises(ValueError, match="JSON-safe"):
+        write_snapshot(bad, str(tmp_path / "badstats"), stats_columns=["blob"])
+    import os as _os
+
+    assert not _os.path.isdir(str(tmp_path / "badstats" / "v00001"))
 
 
 def test_as_of_timestamp_time_travel(spark, tmp_path):
