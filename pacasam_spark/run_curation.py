@@ -65,8 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "appended after this committed version (the "
                         "incremental append scan — O(new docs) per run; "
                         "store the summary's input_to_version as the next "
-                        "run's --since-version). Dedup then applies WITHIN "
-                        "the increment; global dedup needs a full run.")
+                        "run's --since-version). With --snapshot-dir, new "
+                        "docs are first checked against the corpus' "
+                        "signature index, so a doc duplicating an "
+                        "already-curated one is dropped (cross-batch "
+                        "dedup); within-increment dedup runs after.")
     p.add_argument("--output", required=True)
     p.add_argument(
         "--method", default=None, choices=DEDUP_METHODS,
@@ -80,7 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--snapshot-dir", default=None,
                    help="versioned snapshot table: the curated corpus "
                         "commits as the next version (atomic manifest, "
-                        "time-travel reads)")
+                        "time-travel reads). A signature index sidecar "
+                        "(<dir>/_sig_index) commits alongside, enabling "
+                        "cross-batch dedup on later --since-version runs")
+    p.add_argument("--no-sig-index", action="store_true",
+                   help="skip maintaining the signature index sidecar "
+                        "(incremental runs then dedup within the batch "
+                        "only — the pre-round-7 behavior)")
     return p
 
 
@@ -219,6 +228,46 @@ def run(args: argparse.Namespace) -> dict:
         n_quality = n_input
 
     emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+
+    # cross-batch dedup: drop new docs that duplicate a doc the corpus
+    # has already considered (round-6 verdict #1 — without this, an
+    # incremental run only dedupes WITHIN the increment and replaying a
+    # batch doubles the corpus). The index covers every quality survivor
+    # ever seen, so the check is one bounded bucket-join against a
+    # signatures-only sidecar, O(increment), never O(corpus x increment).
+    method = dcf.get("method", "minhash")
+    use_index = bool(
+        args.snapshot_dir and method != "none" and not args.no_sig_index
+    )
+    n_cross_dropped = 0
+    if use_index and args.since_version is not None:
+        from pacasam_spark.operators.sigindex import (
+            cross_batch_duplicate_ids,
+            ensure_sig_index,
+        )
+        from pacasam_spark.sources.snapshots import read_snapshot as _read_corpus
+
+        index = ensure_sig_index(
+            spark, args.snapshot_dir, method, dcf, text_col, id_col, emb=emb
+        )
+        if index is not None:
+            dup_ids = cross_batch_duplicate_ids(
+                survivors,
+                index,
+                method,
+                text_col,
+                id_col,
+                dcf,
+                corpus=_read_corpus(spark, args.snapshot_dir),
+                emb=emb,
+            ).persist()
+            n_cross_dropped = dup_ids.count()
+            if n_cross_dropped:
+                survivors = survivors.join(dup_ids, id_col, "left_anti")
+    if use_index:
+        # the seen-docs set is scanned twice (dedup input + index rows)
+        survivors = survivors.persist()
+
     deduped = _dedup(survivors, text_col, id_col, dcf, emb=emb).persist()
     n_final = deduped.count()
 
@@ -232,6 +281,7 @@ def run(args: argparse.Namespace) -> dict:
         )
 
     snapshot_version = None
+    sig_index_version = None
     if args.snapshot_dir:
         from pacasam_spark.sources.snapshots import write_snapshot
 
@@ -243,6 +293,7 @@ def run(args: argparse.Namespace) -> dict:
                 "method": dcf.get("method", "minhash"),
                 "n_input": n_input,
                 "n_quality_survivors": n_quality,
+                "n_cross_batch_dropped": n_cross_dropped,
                 "n_final": n_final,
                 "input_to_version": input_to_version,
             },
@@ -251,15 +302,38 @@ def run(args: argparse.Namespace) -> dict:
             # cumulative curated corpus stays one read_snapshot away
             mode="append" if args.since_version is not None else "overwrite",
         )
+        if use_index:
+            from pacasam_spark.operators.sigindex import append_sig_index
+
+            # AFTER the corpus commit: an index trailing the corpus is
+            # the healable crash state (ensure_sig_index tops it up);
+            # the reverse order would silently drop a batch on replay.
+            # Indexed: quality survivors post cross-batch drop — corpus
+            # winners AND within-batch losers, so replaying the batch is
+            # a no-op even for docs whose dedup winner isn't in the
+            # corpus.
+            sig_index_version = append_sig_index(
+                survivors,
+                args.snapshot_dir,
+                snapshot_version,
+                method,
+                dcf,
+                text_col,
+                id_col,
+                emb=emb,
+                mode="append" if args.since_version is not None else "overwrite",
+            )
 
     summary = {
         "method": dcf.get("method", "minhash"),
         "n_input": n_input,
         "n_quality_survivors": n_quality,
+        "n_cross_batch_dropped": n_cross_dropped,
         "n_final": n_final,
         "corpus_path": corpus_path,
         "gopher_report": report,
         "snapshot_version": snapshot_version,
+        "sig_index_version": sig_index_version,
         # incremental-consumer checkpoint: pass as the next run's
         # --since-version (null for plain --input runs)
         "input_to_version": input_to_version,
