@@ -2,9 +2,22 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the north-metric
 sampling pipeline (TripleSampler over a synthetic catalogue).
 
+Noise robustness (round-7 verdict #2): this box's CPU frequency scaling
+swings identical-config wall times by 1.3-1.9x, so a single-shot bench
+measures weather, not code. Every headline query and both sampler legs
+run $BENCH_TRIALS times (default 3) INTERLEAVED — all queries in round 1,
+then all in round 2, ... — so a slow window hits every query equally
+instead of poisoning whichever ran inside it; the reported number is the
+per-query minimum and the full trial lists ship in the artifact under
+"trials". Between sampler trials the CacheManager is cleared: the
+pipeline persists intermediates (normalize stats, targetted selection)
+and Spark donates cached results to canonical-equal plans, which would
+make trial 2 a fake cache read.
+
 Prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec",
- "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+ "queries": {name: best sec, ...}, "trials": {name: [sec, ...], ...},
+ "sf": ..., "throughput": {...}}
 """
 
 from __future__ import annotations
@@ -68,7 +81,8 @@ def main() -> None:
         "q50_session_window",
     ]
     queries = E.queries()
-    timings: dict[str, float] = {}
+    n_trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    trials: dict[str, list[float]] = {name: [] for name in headline}
     # Warm the session ONCE before timing anything: the first parquet
     # read pays JVM classloading + codegen + file-listing costs that
     # belong to session startup, not to whichever query happens to run
@@ -80,10 +94,15 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").select(
             F.count("*")
         ).first()
-    for name in headline:
-        t0 = time.perf_counter()
-        run_query(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(n_trials):
+        for name in headline:
+            t0 = time.perf_counter()
+            run_query(queries[name](spark, sf_dir))
+            trials[name].append(round(time.perf_counter() - t0, 3))
+        # release round-local JVM litter (q49's localCheckpoint blocks,
+        # shuffle files) so later rounds aren't taxed for earlier ones
+        spark.sparkContext._jvm.System.gc()
+    timings = {name: min(ts) for name, ts in trials.items()}
 
     # North metric: full TripleSampler pipeline over a synthetic catalogue
     # (threshold descriptor assignment at bench scale — the scale path).
@@ -108,43 +127,59 @@ def main() -> None:
             ],
         },
     }
-    db = synthetic_catalogue(spark, db_size=db_size, exact_counts=False).cache()
-    db.count()  # materialize outside the timed section
-    t0 = time.perf_counter()
-    n_sampled = TripleSampler(db, cfg).get_patches().count()
-    dt = time.perf_counter() - t0
-    timings["triple_sampler_pipeline"] = round(dt, 3)
-    patches_per_sec = n_sampled / dt if dt > 0 else 0.0
+    db = synthetic_catalogue(spark, db_size=db_size, exact_counts=False)
 
-    # Same pipeline over the BUCKETED catalogue layout (the Iceberg-
-    # bucket-transform analogue, sources/bucketed.py): the file_id
-    # shuffle disappears from the chunk-rank stage. The one-time write
-    # is ingest cost and stays untimed; the A/B against
-    # triple_sampler_pipeline above is the headline layout evidence.
+    # Both layouts (flat in-memory catalogue vs the bucketed Iceberg-
+    # bucket-transform analogue, sources/bucketed.py) run n_trials times,
+    # A/B interleaved within each round so the layout comparison shares
+    # each round's frequency weather. The one-time bucketed write is
+    # ingest cost and stays untimed.
     import shutil
     import tempfile
 
     from pacasam_spark.sources.bucketed import write_bucketed_catalogue
 
+    trials["triple_sampler_pipeline"] = []
+    trials["triple_sampler_bucketed"] = []
+    n_sampled = 0
     bdir = tempfile.mkdtemp(prefix="bench_bucketed_")
     try:
         bucketed = write_bucketed_catalogue(
             db, "bench_bucketed_catalogue", f"{bdir}/catalogue"
         )
-        db.unpersist()
-        spark.catalog.clearCache()  # no cached-plan donation between A/B
-        t0 = time.perf_counter()
-        n_b = TripleSampler(bucketed, cfg).get_patches().count()
-        dt_b = time.perf_counter() - t0
-        assert n_b == n_sampled, (n_b, n_sampled)
-        timings["triple_sampler_bucketed"] = round(dt_b, 3)
-        bucketed_speedup = dt / dt_b if dt_b > 0 else 0.0
+        for _ in range(n_trials):
+            # clearCache between trials: the pipeline persists
+            # intermediates and identical plans would donate them to the
+            # next trial. The db cache itself is rebuilt untimed.
+            spark.catalog.clearCache()
+            db.cache().count()  # materialize outside the timed section
+            t0 = time.perf_counter()
+            n_sampled = TripleSampler(db, cfg).get_patches().count()
+            trials["triple_sampler_pipeline"].append(
+                round(time.perf_counter() - t0, 3)
+            )
+            db.unpersist()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_b = TripleSampler(bucketed, cfg).get_patches().count()
+            trials["triple_sampler_bucketed"].append(
+                round(time.perf_counter() - t0, 3)
+            )
+            assert n_b == n_sampled, (n_b, n_sampled)
+            spark.sparkContext._jvm.System.gc()
     finally:
         # DROP must run even when the bucketed leg throws: the temp data
         # dir is removed below, and a stale metastore entry pointing at a
         # deleted location breaks the next run in the same warehouse.
         spark.sql("DROP TABLE IF EXISTS bench_bucketed_catalogue")
         shutil.rmtree(bdir, ignore_errors=True)
+
+    dt = min(trials["triple_sampler_pipeline"])
+    dt_b = min(trials["triple_sampler_bucketed"])
+    timings["triple_sampler_pipeline"] = dt
+    timings["triple_sampler_bucketed"] = dt_b
+    patches_per_sec = n_sampled / dt if dt > 0 else 0.0
+    bucketed_speedup = dt / dt_b if dt_b > 0 else 0.0
 
     total = round(sum(timings.values()), 3)
     print(
@@ -154,6 +189,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "trials": trials,
+                "n_trials": n_trials,
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "throughput": {
                     "sampled_patches_per_sec": round(patches_per_sec, 1),
