@@ -81,6 +81,7 @@ def standardize(
     columns: list[str],
     check_nan: bool = True,
     file_counts_key: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """M1: zero-ignoring standardization with min-fill — ONE aggregation
     pass over the data.
@@ -105,18 +106,35 @@ def standardize(
     file (thousands for billions of patches), and the global statistics
     are merged from those partials with exact arithmetic — bit-identical
     results, one fewer full-data read (round-5 verdict: the stats agg is
-    the memory-bandwidth-bound stage that caps single-box scaling)."""
+    the memory-bandwidth-bound stage that caps single-box scaling).
+
+    With ``stats``, the aggregation pass is SKIPPED entirely: the caller
+    supplies the merged statistics (keys ``cnt_<c>/min_<c>/nan_<c>/
+    s_<c>/ssq_<c>``, the shape :func:`_stat_merge_aggs` produces and
+    ``sources.snapshots.snapshot_fps_inputs`` reads back from snapshot
+    manifests) and this function only builds the transform expressions —
+    ZERO scans, the manifest-fed path that makes the Diversity pipeline
+    a single-scan job over a snapshot-table catalogue."""
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     masked = {c: F.nullif(F.col(c).cast("double"), F.lit(0.0)) for c in columns}
-    aggs = _stat_partial_aggs(types, masked, columns)
 
     counts = None
-    if file_counts_key is None:
-        stats = df.agg(*aggs).first()
+    if stats is not None:
+        if file_counts_key is not None:
+            raise ValueError(
+                "stats= supplies precomputed statistics; the fused "
+                "file_counts_key pass has nothing to aggregate — get the "
+                "counts table from the same source as the stats"
+            )
+    elif file_counts_key is None:
+        stats = df.agg(*_stat_partial_aggs(types, masked, columns)).first()
     else:
         per_file = (
             df.groupBy(file_counts_key)
-            .agg(F.count("*").alias("count"), *aggs)
+            .agg(
+                F.count("*").alias("count"),
+                *_stat_partial_aggs(types, masked, columns),
+            )
             .persist()
         )
         stats = per_file.agg(*_stat_merge_aggs(columns)).first()

@@ -90,6 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "read_snapshot(bounds=...)")
     p.add_argument("--zorder-files", type=int, default=32,
                    help="target file count for the z-ordered snapshot")
+    p.add_argument("--catalogue-table", default=None,
+                   help="read the catalogue from a versioned snapshot "
+                        "table instead of a connector; when its manifests "
+                        "carry normalization partials + per-file_id counts "
+                        "(write_snapshot(norm_columns=, count_key=)), the "
+                        "Diversity/Outliers stats scan is skipped and the "
+                        "whole FPS pipeline reads the data ONCE")
     # legacy flag-driven mode (no --config)
     p.add_argument("--db-size", type=int, default=10000)
     p.add_argument("--target", type=int, default=500)
@@ -100,7 +107,32 @@ def build_parser() -> argparse.ArgumentParser:
 def run(args: argparse.Namespace) -> dict:
     spark = get_spark(app_name=f"run_sampling_{args.sampler_class}")
 
-    if args.config:
+    if args.catalogue_table:
+        from pacasam_spark.sources.snapshots import read_snapshot, snapshots
+
+        if args.config:
+            cfg = load_sampling_config(args.config)
+        else:
+            cfg = json.loads(json.dumps(DEFAULT_CONFIG))
+            cfg["target_total_num_patches"] = args.target
+        db = read_snapshot(spark, args.catalogue_table)
+        split_name = "any"
+        # auto-wire manifest-fed statistics: when the table was written
+        # with norm_columns covering a sampler's feature columns (and
+        # count_key=file_id), that sampler plans ZERO stats scans —
+        # checked against the LATEST manifest only (an append chain whose
+        # older links lack stats fails loudly in snapshot_fps_inputs
+        # rather than silently rescanning)
+        latest = snapshots(args.catalogue_table)[-1]
+        have = set(latest.get("norm_stats", {}) and next(
+            iter(latest["norm_stats"].values())
+        ))
+        keyed = (latest.get("key_counts") or {}).get("column") == "file_id"
+        for block in ("DiversitySampler", "OutliersSampler"):
+            bcf = cfg.get(block)
+            if bcf and keyed and set(bcf.get("columns", [])) <= have:
+                bcf["manifest_stats"] = {"dir": args.catalogue_table}
+    elif args.config:
         cfg = load_sampling_config(args.config)
         connector_kwargs = dict(cfg.get("connector_kwargs") or {})
         connector = CONNECTORS_REGISTRY[args.connector_class]

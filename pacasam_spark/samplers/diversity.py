@@ -28,7 +28,31 @@ class DiversitySampler(Sampler):
         cols = list(dcf["columns"])
 
         db = self.db.select(S.PATCH_ID, S.FILE_ID, *cols)
-        if dcf.get("normalization", "standardization") == "standardization":
+        snap = dcf.get("manifest_stats")
+        if snap:
+            # catalogue is a snapshot table whose manifests carry the
+            # exact normalization partials + per-file_id counts
+            # (write_snapshot(norm_columns=, count_key=)): the stats
+            # pass disappears and the ONLY data read left in the whole
+            # pipeline is the FPS carve scan. Bit-identical to the
+            # in-scan pass (tests/test_manifest_stats.py).
+            if dcf.get("normalization", "standardization") != "standardization":
+                raise ValueError(
+                    "manifest_stats feeds standardization partials; the "
+                    "quantile grid is not manifest-expressible — drop "
+                    "manifest_stats for normalization=quantilization"
+                )
+            from pacasam_spark.sources.snapshots import snapshot_fps_inputs
+
+            stats, counts = snapshot_fps_inputs(
+                self.db.sparkSession,
+                snap["dir"],
+                cols,
+                key=S.FILE_ID,
+                version=snap.get("version"),
+            )
+            db = standardize(db, cols, stats=stats)
+        elif dcf.get("normalization", "standardization") == "standardization":
             db, counts = standardize(db, cols, file_counts_key=S.FILE_ID)
         else:
             db, counts = quantile_transform(

@@ -28,8 +28,24 @@ class OutliersSampler(Sampler):
         db = self.db.select(S.PATCH_ID, S.FILE_ID, *cols)
         # always standardization: "the only one that gives good outliers"
         # (reference: outliers.py:40-41); the per-file counts chunking
-        # needs ride the same fused aggregation pass
-        db, counts = standardize(db, cols, file_counts_key=S.FILE_ID)
+        # needs ride the same fused aggregation pass — or, over a
+        # snapshot-table catalogue with recorded partials, come straight
+        # from the manifests with no stats scan at all (see
+        # samplers/diversity.py for the manifest_stats contract)
+        snap = ocf.get("manifest_stats")
+        if snap:
+            from pacasam_spark.sources.snapshots import snapshot_fps_inputs
+
+            stats, counts = snapshot_fps_inputs(
+                self.db.sparkSession,
+                snap["dir"],
+                cols,
+                key=S.FILE_ID,
+                version=snap.get("version"),
+            )
+            db = standardize(db, cols, stats=stats)
+        else:
+            db, counts = standardize(db, cols, file_counts_key=S.FILE_ID)
         scored = knn_outlier_scores(
             db,
             cols,

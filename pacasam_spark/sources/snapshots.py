@@ -86,6 +86,84 @@ def _check_stats_columns(df: DataFrame, stats_columns: list[str] | None) -> None
             )
 
 
+# normalization partials are sums/mins of numeric columns; the count key
+# must survive a JSON round-trip as a dict-free array element AND rebuild
+# into a DataFrame column of the table's type
+_NORM_OK = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+_KEY_OK = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _check_norm_columns(
+    df: DataFrame, norm_columns: list[str] | None, count_key: str | None
+) -> None:
+    for c in norm_columns or []:
+        t = df.schema[c].dataType.simpleString()
+        if not t.startswith(_NORM_OK):
+            raise ValueError(
+                f"norm_columns type {t!r} for {c!r} is not numeric; "
+                "normalization partials need numeric columns"
+            )
+    if count_key is not None:
+        t = df.schema[count_key].dataType.simpleString()
+        if t not in _KEY_OK:
+            raise ValueError(
+                f"count_key type {t!r} for {count_key!r} must be integral "
+                "or string to round-trip through the manifest"
+            )
+
+
+def _fold_file_groups(
+    rows,
+    stats_columns: list[str] | None,
+    norm_columns: list[str] | None,
+    count_key: str | None,
+) -> list[dict]:
+    """Merge the (file[, count_key]) aggregation groups into ONE record
+    per part-file, exactly: integer sums for counts, min/max in the
+    original value domain for bounds, int/Decimal sums for the
+    normalization partials — the driver-side twin of
+    ``normalize._stat_merge_aggs``, so the merged statistics are
+    bit-identical to a single global aggregation."""
+    byf: dict[str, dict] = {}
+    for r in rows:
+        d = byf.get(r["file"])
+        if d is None:
+            d = byf[r["file"]] = {
+                "file": r["file"],
+                "count": 0,
+                **{f"__min_{c}": None for c in stats_columns or []},
+                **{f"__max_{c}": None for c in stats_columns or []},
+                "__norm": {
+                    c: {"cnt": 0, "min": None, "nan": 0, "s": None, "ssq": None}
+                    for c in norm_columns or []
+                },
+                "__keys": [],
+            }
+        d["count"] += r["count"]
+        for c in stats_columns or []:
+            for kind, pick in (("min", min), ("max", max)):
+                v = r[f"__{kind}_{c}"]
+                if v is not None:
+                    cur = d[f"__{kind}_{c}"]
+                    d[f"__{kind}_{c}"] = v if cur is None else pick(cur, v)
+        for c in norm_columns or []:
+            e = d["__norm"][c]
+            e["cnt"] += r[f"cnt_{c}"]
+            e["nan"] += r[f"nan_{c}"]
+            mv = r[f"min_{c}"]
+            if mv is not None:
+                e["min"] = mv if e["min"] is None else min(e["min"], mv)
+            for part in ("s", "ssq"):
+                v = r[f"{part}_{c}"]
+                if v is not None:
+                    e[part] = v if e[part] is None else e[part] + v
+        if count_key is not None:
+            d["__keys"].append([r[count_key], r["count"]])
+    for d in byf.values():
+        d["__keys"].sort()
+    return list(byf.values())
+
+
 def _versions(table_dir: str) -> list[int]:
     if not os.path.isdir(table_dir):
         return []
@@ -155,6 +233,8 @@ def write_snapshot(
     table_dir: str,
     metadata: dict | None = None,
     stats_columns: list[str] | None = None,
+    norm_columns: list[str] | None = None,
+    count_key: str | None = None,
     mode: str = "overwrite",
     _removed: list[tuple[int, str]] | None = None,
     _removed_rows: int = 0,
@@ -176,6 +256,21 @@ def write_snapshot(
     range query before Spark ever lists them; the stats are selective
     when the writer clustered the data (``spatial/zorder.py``).
 
+    ``norm_columns`` folds the EXACT per-file normalization partials of
+    ``operators.normalize.standardize`` (count / min / NaN count /
+    decimal sum / decimal sum-of-squares per column) into the same
+    aggregation and records them JSON-safely in the manifest, and
+    ``count_key`` records per-file row counts grouped by that catalogue
+    column (e.g. ``file_id``) — together they are everything the
+    Diversity/Outliers pipelines' stats pass computes, so
+    :func:`snapshot_fps_inputs` can hand the samplers bit-identical
+    statistics from the manifests alone and the pipeline's only data
+    read is the FPS carve scan (one full scan instead of two; the stats
+    aggregation was the memory-bandwidth-bound stage). Both ride the
+    one lineage aggregation this writer already pays for — the grouping
+    just gains ``count_key`` and the partials fold per file on the
+    driver (exact integer/Decimal arithmetic).
+
     ``mode`` is the Iceberg commit type. ``"overwrite"`` (default):
     this version's files ARE the table. ``"append"``: this commit
     writes ONLY ``df``'s rows; the version's logical table is the
@@ -190,6 +285,7 @@ def write_snapshot(
     if mode not in ("overwrite", "append", "upsert"):
         raise ValueError(f"mode must be overwrite|append|upsert, got {mode!r}")
     _check_stats_columns(df, stats_columns)
+    _check_norm_columns(df, norm_columns, count_key)
     os.makedirs(table_dir, exist_ok=True)
     version = (_versions(table_dir) or [0])[-1] + 1
     vdir = _vdir(table_dir, version)
@@ -224,11 +320,19 @@ def write_snapshot(
     for c in stats_columns or []:
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
-    parts = (
-        written.groupBy(F.input_file_name().alias("file"))
-        .agg(*aggs)
-        .collect()
-    )
+    if norm_columns:
+        from pacasam_spark.operators.normalize import _stat_partial_aggs
+
+        types = {f.name: f.dataType.simpleString() for f in written.schema.fields}
+        masked = {
+            c: F.nullif(F.col(c).cast("double"), F.lit(0.0)) for c in norm_columns
+        }
+        aggs.extend(_stat_partial_aggs(types, masked, norm_columns))
+    group_cols = [F.input_file_name().alias("file")]
+    if count_key is not None:
+        group_cols.append(F.col(count_key))
+    rows = written.groupBy(*group_cols).agg(*aggs).collect()
+    parts = _fold_file_groups(rows, stats_columns, norm_columns, count_key)
     manifest = {
         "version": version,
         "parent_version": parent,
@@ -255,6 +359,36 @@ def write_snapshot(
             for r in parts
         }
         if stats_columns
+        else {},
+        # per-file EXACT normalization partials (count/min/nan/sum/sum-of-
+        # squares per column) — :func:`snapshot_fps_inputs` merges them
+        # driver-side into the global statistics standardize() needs, so
+        # a sampler over this table skips its stats scan entirely.
+        "norm_stats": {
+            os.path.basename(p["file"]): {
+                c: {
+                    "cnt": e["cnt"],
+                    "nan": e["nan"],
+                    "min": e["min"],
+                    "s": None if e["s"] is None else str(e["s"]),
+                    "ssq": None if e["ssq"] is None else str(e["ssq"]),
+                }
+                for c, e in p["__norm"].items()
+            }
+            for p in parts
+        }
+        if norm_columns
+        else {},
+        # per-file row counts grouped by a catalogue column (chunked
+        # FPS's per-file_id counts table) — [[key, rows], ...] per file
+        # so upsert's logical file removal keeps the totals correct.
+        "key_counts": {
+            "column": count_key,
+            "by_file": {
+                os.path.basename(p["file"]): p["__keys"] for p in parts
+            },
+        }
+        if count_key is not None
         else {},
         # per-partition METRICS next to the lineage (north rule): bytes
         # per committed part-file, from the local listing — no data read.
@@ -414,6 +548,83 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def snapshot_fps_inputs(
+    spark: SparkSession,
+    table_dir: str,
+    columns: list[str],
+    key: str,
+    version: int | None = None,
+) -> tuple[dict, DataFrame]:
+    """The two inputs the Diversity/Outliers stats pass exists to
+    produce — merged global normalization statistics for ``columns``
+    and the per-``key`` row-count table chunked FPS needs — read from
+    the snapshot MANIFESTS alone, no data scan (the Iceberg idiom of
+    planning from manifest stats). Returns ``(stats, counts)`` where
+    ``stats`` feeds ``standardize(stats=...)`` and ``counts`` feeds
+    ``fps_sample(counts=...)``.
+
+    The merge is exact (integer/Decimal arithmetic over the per-file
+    partials the writer recorded), so sampler selections are
+    bit-identical to the in-scan fused pass — verified by
+    tests/test_manifest_stats.py against the two-scan pipeline.
+
+    Raises ``ValueError`` when any live file of the resolved version
+    lacks partials for ``columns`` or key counts for ``key`` (table
+    written without ``norm_columns``/``count_key``, or rewritten by an
+    upsert/compaction that dropped them) — callers should then fall
+    back to the in-scan pass or rewrite the table with stats.
+    """
+    import decimal
+
+    v = latest_version(table_dir) if version is None else version
+    chain = _resolve_chain(table_dir, v)
+    stats: dict = {}
+    for c in columns:
+        stats[f"cnt_{c}"] = 0
+        stats[f"nan_{c}"] = 0
+        stats[f"min_{c}"] = None
+        stats[f"s_{c}"] = None
+        stats[f"ssq_{c}"] = None
+    key_totals: dict = {}
+    for m, f in _live_files(chain):
+        ns = m.get("norm_stats", {}).get(f)
+        kc = m.get("key_counts") or {}
+        if ns is None or any(c not in ns for c in columns):
+            raise ValueError(
+                f"{table_dir} v{m['version']:05d} has no normalization "
+                f"partials for {columns} (file {f}); write the table with "
+                f"norm_columns={columns} to enable manifest-fed sampling"
+            )
+        if kc.get("column") != key or f not in kc.get("by_file", {}):
+            raise ValueError(
+                f"{table_dir} v{m['version']:05d} has no per-{key!r} row "
+                f"counts (file {f}); write the table with count_key={key!r}"
+            )
+        for c in columns:
+            e = ns[c]
+            stats[f"cnt_{c}"] += e["cnt"]
+            stats[f"nan_{c}"] += e["nan"]
+            if e["min"] is not None:
+                cur = stats[f"min_{c}"]
+                stats[f"min_{c}"] = e["min"] if cur is None else min(cur, e["min"])
+            for part in ("s", "ssq"):
+                if e[part] is not None:
+                    val = decimal.Decimal(e[part])
+                    cur = stats[f"{part}_{c}"]
+                    stats[f"{part}_{c}"] = val if cur is None else cur + val
+        for k, n in kc["by_file"][f]:
+            key_totals[k] = key_totals.get(k, 0) + n
+    key_type = next(
+        fld["type"]
+        for fld in chain[0]["schema"]["fields"]
+        if fld["name"] == key
+    )
+    counts = spark.createDataFrame(
+        sorted(key_totals.items()), schema=f"{key} {key_type}, count long"
+    )
+    return stats, counts
+
+
 def snapshot_changes(
     spark: SparkSession,
     table_dir: str,
@@ -488,6 +699,8 @@ def upsert_snapshot(
     df: DataFrame,
     key: str,
     stats_columns: list[str] | None = None,
+    norm_columns: list[str] | None = None,
+    count_key: str | None = None,
 ) -> int:
     """Copy-on-write MERGE (Iceberg's ``MERGE INTO ... WHEN MATCHED THEN
     UPDATE WHEN NOT MATCHED THEN INSERT`` with copy-on-write): rows of
@@ -526,7 +739,12 @@ def upsert_snapshot(
     committed = _committed_versions(table_dir)
     if not committed:
         return write_snapshot(
-            df, table_dir, stats_columns=stats_columns, mode="overwrite"
+            df,
+            table_dir,
+            stats_columns=stats_columns,
+            norm_columns=norm_columns,
+            count_key=count_key,
+            mode="overwrite",
         )
     chain = _resolve_chain(table_dir, committed[-1])
     from pyspark.sql.types import StructType
@@ -592,6 +810,8 @@ def upsert_snapshot(
         table_dir,
         metadata={"upsert_key": key, "files_rewritten": len(affected)},
         stats_columns=stats_columns,
+        norm_columns=norm_columns,
+        count_key=count_key,
         mode="upsert",
         _removed=[(m["version"], f) for m, f in affected],
         _removed_rows=removed_rows,
@@ -604,6 +824,8 @@ def compact_snapshots(
     stats_columns: list[str] | None = None,
     zorder: tuple[str, str] | None = None,
     n_files: int = 32,
+    norm_columns: list[str] | None = None,
+    count_key: str | None = None,
 ) -> int:
     """Rewrite the latest version's append chain into ONE overwrite
     commit (Iceberg's rewrite_data_files + expire pattern): a long
@@ -627,6 +849,8 @@ def compact_snapshots(
         table_dir,
         metadata={"compaction_of": parent},
         stats_columns=stats_columns,
+        norm_columns=norm_columns,
+        count_key=count_key,
         mode="overwrite",
     )
 

@@ -249,6 +249,41 @@ def test_run_sampling_snapshot_dir(spark, tmp_path):
     assert ids1 != ids2
 
 
+def test_run_sampling_catalogue_table(spark, tmp_path):
+    """--catalogue-table reads the catalogue from a snapshot table and,
+    when the manifests carry normalization partials + file_id counts,
+    auto-wires manifest_stats so Diversity selects IDENTICALLY to the
+    in-scan connector path with zero stats scans."""
+    from pacasam_spark.run_sampling import DEFAULT_CONFIG, build_parser, run
+    from pacasam_spark.sources.snapshots import write_snapshot
+    from pacasam_spark.sources.synthetic import synthetic_catalogue
+
+    cols = DEFAULT_CONFIG["DiversitySampler"]["columns"]
+    tbl = str(tmp_path / "cat_tbl")
+    write_snapshot(
+        synthetic_catalogue(spark, db_size=2000, exact_counts=False),
+        tbl,
+        norm_columns=cols,
+        count_key="file_id",
+    )
+    s = run(build_parser().parse_args([
+        "--catalogue-table", tbl, "--sampler", "DiversitySampler",
+        "--output", str(tmp_path / "o1"), "--target", "100",
+    ]))
+    assert s["n_sampled"] == 100
+
+    # same selection as the plain synthetic-connector run (the snapshot
+    # round-trip and the manifest-fed stats change nothing)
+    s2 = run(build_parser().parse_args([
+        "--sampler", "DiversitySampler", "--split", "any",
+        "--output", str(tmp_path / "o2"),
+        "--db-size", "2000", "--target", "100",
+    ]))
+    a = spark.read.parquet(s["sampling_path"]).select("patch_id", "split")
+    b = spark.read.parquet(s2["sampling_path"]).select("patch_id", "split")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_run_sampling_zorder_snapshot(spark, tmp_path):
     """--zorder clusters the committed snapshot on the Morton curve of
     the geometry columns and records per-file min/max bounds; a box

@@ -155,6 +155,43 @@ def main() -> int:
         "InMemoryTableScan" in p,
     )
 
+    # manifest-fed Diversity over a snapshot-table catalogue (round-7):
+    # normalization stats + per-file counts come from the manifests
+    # (write_snapshot(norm_columns=, count_key=)), so the END-TO-END FPS
+    # plan reads the data exactly ONCE — the carve pass. A second scan =
+    # a stats aggregation crept back in.
+    import shutil
+
+    from pacasam_spark.samplers import DiversitySampler
+    from pacasam_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    st = "/tmp/plan_check_snapcat"
+    shutil.rmtree(st, ignore_errors=True)
+    write_snapshot(
+        synthetic_catalogue(spark, db_size=5000).select(
+            "patch_id", "file_id", "nb_sol", "nb_bati"
+        ),
+        st,
+        norm_columns=["nb_sol", "nb_bati"],
+        count_key="file_id",
+    )
+    dcfg = {
+        "target_total_num_patches": 100,
+        "frac_validation_set": 0.1,
+        "DiversitySampler": {
+            "max_chunk_size_for_fps": 1000,
+            "columns": ["nb_sol", "nb_bati"],
+            "manifest_stats": {"dir": st},
+        },
+    }
+    p = plan_of(DiversitySampler(read_snapshot(spark, st), dcfg).get_patches())
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    ok &= check(
+        "manifest-fed diversity: ONE catalogue scan",
+        n_scans <= 1,
+        f"{n_scans} parquet scan nodes",
+    )
+
     # large-n random sample: the distributed trim must not TakeOrdered n
     from pacasam_spark.operators.sampling import sample_randomly
 
