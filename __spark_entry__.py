@@ -1215,20 +1215,69 @@ def _q38_sql() -> str:
     return ingest_parity_sql()
 
 
-def q34_fps_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3/M4 chunked FPS — inherently sequential per chunk, not
-    SQL-expressible: rows-only check (determinism proven in pytest)."""
-    from pacasam_spark.operators.fps import fps_sample
-    from pacasam_spark.operators.normalize import standardize
+def q34_fps_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every SQL-expressible stage of chunked FPS (M3/M4), oracle-checked
+    end-to-end under the production code paths: the windowless global
+    rank (fps.add_deterministic_chunk_ids — per-file row_number +
+    broadcast offsets), deterministic chunk ids, and the per-chunk
+    quota / trim keep-count arithmetic (fps.chunk_keep_counts — the
+    broadcast-joined distributed trim). n=120 over 2000 rows in chunks
+    of 512 makes the budget BIND (quotas 31+31+31+28 > 120), so the
+    running-budget clamp is exercised, not just the happy path. The one
+    FPS stage this cannot cover — the within-chunk greedy argmax — is
+    golden-pinned at two core counts in tests/test_golden.py (round-6
+    verdict #3: shrink the unverified surface to the argmax core)."""
+    from pacasam_spark.operators.fps import (
+        CHUNK_ID,
+        GLOBAL_RANK,
+        add_deterministic_chunk_ids,
+        chunk_keep_counts,
+    )
 
-    cols = ["nb_sol", "nb_bati", "nb_eau", "nb_vegetation_haute"]
-    db = synthetic_catalogue(spark, db_size=2000).select(
-        "patch_id", "file_id", *cols
+    db = synthetic_catalogue(spark, db_size=2000).select("patch_id", "file_id")
+    chunked = add_deterministic_chunk_ids(db, 512, keep_rank=True)
+    limits = spark.createDataFrame(
+        chunk_keep_counts(2000, 120, 512),
+        f"{CHUNK_ID} long, quota long, keep_n long",
     )
-    normed = standardize(db, cols)
-    return fps_sample(normed, 100, cols, max_chunk_size=500).select(
-        "patch_id", "file_id"
+    return chunked.join(F.broadcast(limits), CHUNK_ID).select(
+        "patch_id",
+        "file_id",
+        F.col(GLOBAL_RANK).alias("global_rank"),
+        F.col(CHUNK_ID).alias("chunk_id"),
+        "quota",
+        "keep_n",
     )
+
+
+def _q34_sql() -> str:
+    return f"""
+with cat as ({synthetic_catalogue_sql(db_size=2000)}),
+ranked as (
+  select patch_id, file_id,
+         row_number() over (order by file_id, patch_id) - 1 as global_rank
+  from cat
+),
+chunked as (
+  select *, cast(floor(global_rank / 512.0) as bigint) as chunk_id from ranked
+),
+cs as (select chunk_id, count(*) as clen from chunked group by chunk_id),
+q as (
+  select chunk_id, clen,
+         least(cast(ceil(clen * (120.0 / 2000)) as bigint), clen) as quota
+  from cs
+),
+k as (
+  select chunk_id, quota,
+         cast(greatest(0, least(quota,
+           120 - coalesce(sum(quota) over (order by chunk_id
+             rows between unbounded preceding and 1 preceding), 0)))
+           as bigint) as keep_n
+  from q
+)
+select c.patch_id, c.file_id, c.global_rank, c.chunk_id, k.quota, k.keep_n
+from chunked c join k using (chunk_id)
+"""
 
 
 def q35_triple_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1801,19 +1850,54 @@ def _q39_sql() -> str:
     return knn_join_sql(pts, qs, k=5, level=0)
 
 
-def q40_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M5 (documented approximation): chunk-local kNN-density outlier
-    scores + deterministic FPS-medoid clusters — rows-only check, the
-    knowingly non-SQL operator (SURVEY §4.3-6)."""
-    from pacasam_spark.operators.normalize import standardize
-    from pacasam_spark.operators.outliers import knn_outlier_scores
-
-    cols = ["nb_sol", "nb_bati", "nb_eau", "nb_vegetation_haute"]
-    db = synthetic_catalogue(spark, db_size=2000).select(
-        "patch_id", "file_id", *cols
+def q40_outlier_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible stages feeding M5's chunk-local outlier
+    kernel, exercised through the SKEW-GUARDED rank path
+    (skew_threshold=0 forces fps._bucketed_rank_in_file): the oracle
+    certifies that the monotone-bucket decomposition — rank = rows of
+    the file in lower id-buckets + rank within the bucket — equals the
+    plain window rank, the exactness claim the hot-file guard rests on
+    at scale. chunk_len/k_eff mirror the kernel's per-chunk effective-k
+    arithmetic. The numpy kNN-density scores themselves (the knowingly
+    non-SQL core, SURVEY §4.3-6) stay golden-pinned at two core counts
+    in tests/test_golden.py."""
+    from pacasam_spark.operators.fps import (
+        CHUNK_ID,
+        GLOBAL_RANK,
+        add_deterministic_chunk_ids,
     )
-    scored = knn_outlier_scores(standardize(db, cols), cols, k=20, max_chunk_size=500)
-    return scored.orderBy(F.desc("outlier_score"), "patch_id").limit(100)
+
+    db = synthetic_catalogue(spark, db_size=2000).select("patch_id", "file_id")
+    chunked = add_deterministic_chunk_ids(
+        db, 500, keep_rank=True, skew_threshold=0
+    )
+    clen = F.least(F.lit(500), F.lit(2000) - F.col(CHUNK_ID) * 500)
+    return chunked.select(
+        "patch_id",
+        "file_id",
+        F.col(GLOBAL_RANK).alias("global_rank"),
+        F.col(CHUNK_ID).alias("chunk_id"),
+        clen.cast("long").alias("chunk_len"),
+        F.least(F.lit(20), clen - 1).cast("long").alias("k_eff"),
+    )
+
+
+def _q40_sql() -> str:
+    return f"""
+with cat as ({synthetic_catalogue_sql(db_size=2000)}),
+ranked as (
+  select patch_id, file_id,
+         row_number() over (order by file_id, patch_id) - 1 as global_rank
+  from cat
+),
+chunked as (
+  select *, cast(floor(global_rank / 500.0) as bigint) as chunk_id from ranked
+)
+select patch_id, file_id, global_rank, chunk_id,
+       cast(least(500, 2000 - chunk_id * 500) as bigint) as chunk_len,
+       cast(least(20, least(500, 2000 - chunk_id * 500) - 1) as bigint) as k_eff
+from chunked
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1855,13 +1939,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_hourly_event_rollup": q31_hourly_event_rollup,
         "q32_image_metadata": q32_image_metadata,
         "q33_zone_join": q33_zone_join,
-        "q34_fps_diversity": q34_fps_diversity,
+        "q34_fps_stages": q34_fps_stages,
         "q35_triple_sampler": q35_triple_sampler,
         "q36_streaming_hourly": q36_streaming_hourly,
         "q37_stateful_user_counts": q37_stateful_user_counts,
         "q38_ingest_parity": q38_ingest_parity,
         "q39_spatial_knn": q39_spatial_knn,
-        "q40_outlier_scores": q40_outlier_scores,
+        "q40_outlier_stages": q40_outlier_stages,
         "q41_lsh_ann_topk": q41_lsh_ann_topk,
         "q42_quantile_transform": q42_quantile_transform,
         "q43_polygon_zone_join": q43_polygon_zone_join,
@@ -1910,14 +1994,16 @@ def oracle_sql() -> dict[str, str]:
         "q31_hourly_event_rollup": Q31_SQL,
         "q32_image_metadata": Q32_SQL,
         "q33_zone_join": Q33_SQL,
-        # q34/q35: non-SQL-expressible (sequential FPS; composite sampler
-        # with driver-loop quotas) -> rows-only checks by design.
+        # q34: the staged FPS decomposition (rank/chunk/quota/trim) has a
+        # full window+arithmetic oracle; ONLY the within-chunk greedy
+        # argmax (and q35's composite of it) stays golden-pinned
+        # (tests/test_golden.py, two core counts).
+        "q34_fps_stages": _q34_sql(),
         "q36_streaming_hourly": Q36_SQL,
         "q37_stateful_user_counts": Q37_SQL,
         "q38_ingest_parity": _q38_sql(),
         "q39_spatial_knn": _q39_sql(),
-        # q40: chunk-local outlier scoring (numpy applyInPandas) ->
-        # rows-only by design.
+        "q40_outlier_stages": _q40_sql(),
         "q41_lsh_ann_topk": _q41_sql(),
         "q42_quantile_transform": _q42_sql(),
         "q43_polygon_zone_join": _q43_sql(),

@@ -246,6 +246,29 @@ def _make_fps_process(keep: list[str], feature_cols: list[str], proportion: floa
     return process
 
 
+def chunk_keep_counts(
+    total: int, num_to_sample: int, max_chunk_size: int
+) -> list[tuple[int, int, int]]:
+    """(chunk_id, quota, keep) per chunk — the reference's trim
+    semantics (diversity.py:73-74: concat chunk outputs in chunk order,
+    keep the first n) computed arithmetically: chunk lengths are known
+    (consecutive slices of the total order), quota_i = min(ceil(len_i *
+    n/total), len_i), and keep_i spends the remaining budget in chunk
+    order. Pure arithmetic — SQL-expressible, and oracle-verified
+    end-to-end by driver query q34 (the greedy within-chunk argmax is
+    the ONLY FPS stage without a SQL oracle; it stays golden-pinned)."""
+    proportion = num_to_sample / total
+    out = []
+    remaining = num_to_sample
+    for i in range(math.ceil(total / max_chunk_size)):
+        clen = min(max_chunk_size, total - i * max_chunk_size)
+        quota = min(math.ceil(clen * proportion), clen)
+        k = max(0, min(quota, remaining))
+        remaining -= k
+        out.append((i, quota, k))
+    return out
+
+
 def fps_sample(
     df: DataFrame,
     num_to_sample: int,
@@ -318,17 +341,11 @@ def fps_sample(
     # arithmetically (chunk lengths are known: consecutive slices of the
     # total order), so the trim is a broadcast-joined FILTER — fully
     # distributed, identical result.
-    n_chunks = math.ceil(total / max_chunk_size)
-    keep_counts = []
-    remaining = num_to_sample
-    for i in range(n_chunks):
-        clen = min(max_chunk_size, total - i * max_chunk_size)
-        quota = min(math.ceil(clen * proportion), clen)
-        k = max(0, min(quota, remaining))
-        remaining -= k
-        keep_counts.append((i, k))
     spark = df.sparkSession
-    limits = spark.createDataFrame(keep_counts, f"{CHUNK_ID} long, __keep int")
+    limits = spark.createDataFrame(
+        [(i, k) for i, _q, k in chunk_keep_counts(total, num_to_sample, max_chunk_size)],
+        f"{CHUNK_ID} long, __keep int",
+    )
     return (
         selected.join(F.broadcast(limits), on=CHUNK_ID)
         .filter(F.col(FPS_RANK) < F.col("__keep"))
