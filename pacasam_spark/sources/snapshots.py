@@ -297,17 +297,39 @@ def write_snapshot(
         mode = "overwrite"  # appending to an empty table creates it
     if mode in ("append", "upsert"):
         # validate BEFORE writing any data (Iceberg append validation);
-        # compare name+type only — parquet round-trips relax nullability
+        # compare name+type only — parquet round-trips relax nullability.
+        # Schema EVOLUTION (Iceberg add-column): an append may introduce
+        # new NULLABLE columns — the commit's schema becomes the table
+        # schema, and readers null-backfill older files (read_snapshot /
+        # snapshot_changes read every contributing file with the newest
+        # manifest's schema, and parquet resolves columns by name).
+        # Dropping or re-typing a column still raises: old manifests are
+        # immutable, so time travel to pre-evolution versions is
+        # untouched by construction.
         parent_manifest = _load_manifest(table_dir, parent)
-
-        def shape(schema_json: dict) -> list[tuple[str, object]]:
-            return [(f["name"], f["type"]) for f in schema_json["fields"]]
-
-        if shape(parent_manifest["schema"]) != shape(df.schema.jsonValue()):
+        parent_shape = {
+            f["name"]: f["type"] for f in parent_manifest["schema"]["fields"]
+        }
+        new_shape = {
+            f["name"]: f["type"] for f in df.schema.jsonValue()["fields"]
+        }
+        missing = [n for n in parent_shape if n not in new_shape]
+        changed = [
+            n
+            for n, t in parent_shape.items()
+            if n in new_shape and new_shape[n] != t
+        ]
+        if missing or changed:
             raise ValueError(
                 f"append to {table_dir} v{parent:05d} with a different "
-                f"schema; use mode='overwrite' to replace the table"
+                f"schema (missing columns: {missing}, type changes: "
+                f"{changed}); appends may only ADD nullable columns — "
+                "use mode='overwrite' to replace the table"
             )
+        # added columns need no nullability check: the manifest schema is
+        # taken from the parquet RE-READ of the written files, which
+        # relaxes every field to nullable — so older files always
+        # null-backfill under the evolved schema
         parent_total = parent_manifest.get("total_row_count") or sum(
             m["files"][f]
             for m, f in _live_files(_resolve_chain(table_dir, parent))

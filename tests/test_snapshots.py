@@ -119,6 +119,53 @@ def test_append_commits_chain_without_copying(spark, tmp_path):
     assert snapshots(d)[-1]["total_row_count"] == 3
 
 
+def test_append_schema_evolution_add_nullable_column(spark, tmp_path):
+    """Iceberg add-column: an append may introduce a new nullable
+    column; later reads null-backfill older files, time travel to
+    pre-evolution versions keeps the old schema, and snapshot_changes
+    over the evolution span uses the newest schema in span."""
+    from pacasam_spark.sources.snapshots import snapshot_changes
+
+    d = str(tmp_path / "etbl")
+    write_snapshot(
+        spark.range(3).select(F.col("id").alias("patch_id")), d
+    )
+    v2 = write_snapshot(
+        spark.range(3, 5).select(
+            F.col("id").alias("patch_id"),
+            F.concat(F.lit("w"), F.col("id")).alias("w"),
+        ),
+        d,
+        mode="append",
+    )
+    assert v2 == 2
+    latest = read_snapshot(spark, d).orderBy("patch_id").collect()
+    assert [r["w"] for r in latest] == [None, None, None, "w3", "w4"]
+    # pre-evolution time travel: old schema, old rows
+    v1 = read_snapshot(spark, d, version=1)
+    assert v1.columns == ["patch_id"] and v1.count() == 3
+    # incremental scan across the evolution sees the evolved schema
+    inc = snapshot_changes(spark, d, 1, 2).orderBy("patch_id").collect()
+    assert [(r["patch_id"], r["w"]) for r in inc] == [(3, "w3"), (4, "w4")]
+    # dropping a column is NOT evolution
+    with pytest.raises(ValueError, match="missing columns"):
+        write_snapshot(
+            spark.range(9, 10).select(F.col("id").alias("patch_id")),
+            d,
+            mode="append",
+        )
+    # re-typing a column is NOT evolution either
+    with pytest.raises(ValueError, match="type changes"):
+        write_snapshot(
+            spark.range(9, 10).select(
+                F.col("id").cast("string").alias("patch_id"),
+                F.concat(F.lit("w"), F.col("id")).alias("w"),
+            ),
+            d,
+            mode="append",
+        )
+
+
 def test_append_schema_mismatch_raises_before_writing(spark, tmp_path):
     d = str(tmp_path / "stbl")
     write_snapshot(spark.range(5).select(F.col("id").alias("patch_id")), d)
