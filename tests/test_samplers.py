@@ -249,6 +249,40 @@ def test_checkpoint_fingerprint_guards_stale_resume(spark, catalogue, tmp_path):
     assert rerun_b == run_b
 
 
+def test_checkpoint_single_writer_lock(spark, catalogue, tmp_path):
+    """Concurrent checkpoint writers raise instead of interleaving stage
+    commits (round-6 verdict #8): a live foreign pid holds the lease; a
+    dead holder's lock is stolen; the same process re-enters freely."""
+    import json
+    import os
+    import subprocess
+
+    from pacasam_spark.samplers import TripleSampler
+    from tests.conftest import SAMPLING_CONFIG
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    cfg = {**SAMPLING_CONFIG, "checkpoint_dir": ckpt}
+    lock = os.path.join(ckpt, "_writer.lock")
+
+    # live foreign holder (pid 1 always exists) -> raise, no stage writes
+    with open(lock, "w") as f:
+        json.dump({"pid": 1, "sampler": "Other"}, f)
+    with pytest.raises(RuntimeError, match="live pid 1"):
+        TripleSampler(catalogue, cfg).get_patches().collect()
+    assert not [p for p in os.listdir(ckpt) if not p.startswith("_")]
+
+    # dead holder -> lease stolen, the run proceeds and holds the lock
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    with open(lock, "w") as f:
+        json.dump({"pid": dead.pid, "sampler": "Crashed"}, f)
+    out = TripleSampler(catalogue, cfg).get_patches().collect()
+    assert len(out) == SAMPLING_CONFIG["target_total_num_patches"]
+    with open(lock) as f:
+        assert json.load(f)["pid"] == os.getpid()
+
+
 def test_checkpoint_partition_lineage(spark, catalogue, tmp_path):
     """Each committed stage appends per-partition row counts keyed by
     stage + fingerprint; totals agree with the stage lineage."""
