@@ -53,12 +53,13 @@ def synthetic_connector(
 def file_connector(
     spark: SparkSession,
     path: str,
-    fmt: str = "parquet",
+    fmt: str | None = None,
     split: str = "any",
     **_ignored,
 ) -> DataFrame:
     """reference: connectors/geopandas.py:24-31 (any tabular source; stale
-    sampling columns dropped)."""
+    sampling columns dropped). fmt defaults by extension — a ``.gpkg``
+    path reads through sources/geopkg.py, else parquet."""
     from pacasam_spark.sources.files import read_catalogue
 
     return filter_split(read_catalogue(spark, path, fmt), split)

@@ -20,9 +20,19 @@ from pyspark.sql import types as T
 from pacasam_spark import schemas as S
 
 
-def read_catalogue(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+def read_catalogue(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     """S3: load a catalogue file; stale sampling columns are dropped so
-    re-sampling starts clean (reference: connectors/geopandas.py:28-31)."""
+    re-sampling starts clean (reference: connectors/geopandas.py:28-31).
+    ``fmt`` defaults by extension: ``.gpkg`` reads through the pure-python
+    GeoPackage source (sources/geopkg.py — geometry surfaced as its
+    envelope columns, like the reference's boxes-only catalogues), all
+    else through the named Spark datasource (default parquet)."""
+    if fmt is None:
+        fmt = "gpkg" if path.endswith(".gpkg") else "parquet"
+    if fmt == "gpkg":
+        from pacasam_spark.sources.geopkg import read_gpkg
+
+        return read_gpkg(spark, path)  # drops split/sampler itself
     df = spark.read.format(fmt).load(path)
     stale = [c for c in (S.SPLIT, S.SAMPLER) if c in df.columns]
     return df.drop(*stale) if stale else df
