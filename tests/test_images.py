@@ -27,7 +27,127 @@ def test_q6_psnr_above_40db():
 
 def test_unsupported_codec_stubbed():
     with pytest.raises(NotImplementedError):
-        decode(b"xxxx", "jpg")
+        decode(b"xxxx", "webp")
+
+
+def test_jpg_codec_real_wire_format():
+    """jpg decodes for real since round 7 (jpegbase): PSNR>=40 on the
+    worst-case near-noise synthetic pixels, spec markers present,
+    grayscale + odd sizes round-trip, progressive rejected clearly."""
+    from pacasam_spark.imaging import encode
+    from pacasam_spark.jpegbase import decode_jpeg, encode_jpeg
+
+    arr = synth_pixels("img-jpg", 50, 38)  # non-multiple-of-8 both axes
+    data = encode(arr, "jpg")
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in data
+    rec = decode(data, "jpg")
+    assert rec.shape == arr.shape
+    assert psnr(arr, rec) >= 40.0
+
+    gray = arr[:, :, 0]
+    rec_g = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert rec_g.shape == (*gray.shape, 1)
+    assert psnr(gray[:, :, None], rec_g) >= 40.0
+
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(
+            b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        )
+
+
+def test_jpg_decoder_handles_420_subsampling_and_restarts():
+    """The decoder claims real-world coverage (4:2:0 + DRI/RSTn); build
+    such a file by hand from jpegbase primitives — 4 Y blocks + 1 Cb +
+    1 Cr per MCU, a restart marker between MCUs — and check the decode
+    against the (chroma-halved) source."""
+    import struct
+
+    import numpy as np
+
+    from pacasam_spark import jpegbase as J
+
+    arr = synth_pixels("img-420", 32, 16)  # (h=16, w=32): 2 MCUs of 16x16
+    y, cb, cr = J._rgb_to_ycbcr(arr)
+    # box-filter chroma to half resolution (the 4:2:0 shape)
+    def half(p):
+        return p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean((1, 3))
+
+    qt = J._scaled_quant(J._LUM_Q, 98)
+    comps = [(y, 2, 2), (half(cb), 1, 1), (half(cr), 1, 1)]
+    blocks = [J._quantized_blocks(p, qt) for p, _h, _v in comps]
+    # MCU emission order: per MCU, 4 Y blocks (2x2) then Cb, Cr. Y plane
+    # is 32 px wide = 4 blocks across, 2 block rows; MCU x -> Y blocks
+    # (r, 2*mx + c) of the row-major _quantized_blocks grid.
+    streams = {"dc0": [], "ac0": [], "dc1": [], "ac1": []}
+    order = []
+    prev = [0, 0, 0]
+    per_mcu = []
+    for mx in range(2):
+        mcu = []
+        for r in range(2):
+            for c in range(2):
+                mcu.append((0, blocks[0][r * 4 + 2 * mx + c]))
+        mcu += [(1, blocks[1][mx]), (2, blocks[2][mx])]
+        per_mcu.append(mcu)
+    segs = []
+    for mcu in per_mcu:
+        for ci, zz in mcu:
+            t = "0" if ci == 0 else "1"
+            dcs, acs, prev[ci] = J._block_symbols(zz, prev[ci])
+            streams[f"dc{t}"].append(dcs)
+            streams[f"ac{t}"].append(acs)
+            order.append((f"dc{t}", f"ac{t}"))
+    tables = {}
+    for name, blks in streams.items():
+        freq = np.zeros(256, np.int64)
+        for blk in blks:
+            for sym, _v, _l in blk:
+                freq[sym] += 1
+        tables[name] = J._build_huffman(freq)
+    codes = {n: J._canonical_codes(*t) for n, t in tables.items()}
+    # entropy: one segment per MCU with RST0 between (DRI=1), DC preds
+    # reset at each restart -> re-emit with fresh preds per segment
+    entropy = b""
+    cursor = {n: 0 for n in streams}
+    for k, mcu in enumerate(per_mcu):
+        bw = J._BitWriter()
+        prev = [0, 0, 0]
+        for ci, zz in mcu:
+            t = "0" if ci == 0 else "1"
+            dcs, acs, prev[ci] = J._block_symbols(zz, prev[ci])
+            for tbl, syms in ((f"dc{t}", dcs), (f"ac{t}", acs)):
+                for sym, val, vlen in syms:
+                    c, clen = codes[tbl][sym]
+                    bw.write(c, clen)
+                    bw.write(val, vlen)
+        entropy += bw.flush()
+        if k == 0:
+            entropy += b"\xff\xd0"  # RST0
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        qt.reshape(64)[J._ZIGZAG].astype(np.uint8)
+    )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 32, 3)
+    out += bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    for name, (bits, vals) in tables.items():
+        tc = 0 if name.startswith("dc") else 1
+        th = int(name[2])
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI: restart every MCU
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    out += entropy + b"\xff\xd9"
+
+    from pacasam_spark.jpegbase import decode_jpeg
+
+    rec = decode_jpeg(bytes(out))
+    assert rec.shape == (16, 32, 3)
+    # luma is full-res: Y of the decode tracks Y of the source closely
+    y_rec = J._rgb_to_ycbcr(rec)[0]
+    assert float(np.abs(y_rec - y).mean()) < 3.0
 
 
 def test_synth_pixels_deterministic():
