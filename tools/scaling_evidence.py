@@ -244,6 +244,77 @@ print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
                   "patches_per_sec": row["n"]/dt, "result_md5": h}))
 """
 
+# Manifest-fed variant (round-7): the catalogue is a SNAPSHOT TABLE whose
+# manifests carry the exact normalization partials + per-file_id counts
+# (write_snapshot(norm_columns=, count_key=)), so the sampler's stats
+# aggregation — the memory-bandwidth-bound stage in the round-5 event-log
+# decomposition — disappears entirely: the job's only data read is the
+# FPS carve scan. Selection must be bit-identical to DiversityParquet's
+# (same result_md5), proving the manifest merge is exact at scale.
+SNAPSHOT_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+cores, db_size, target, _ = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+import os
+path = os.environ["SCALING_SNAPSHOT"]
+from pacasam_spark.session import get_spark
+from pacasam_spark.sources.snapshots import read_snapshot
+from pacasam_spark.samplers import DiversitySampler
+from pyspark.sql import functions as F
+from pacasam_spark.operators.hashing import det_hash
+
+spark = get_spark(app_name=f"scaling_sn_{cores}", cores=int(cores))
+cfg = {
+    "target_total_num_patches": target,
+    "frac_validation_set": 0.1,
+    "DiversitySampler": {"max_chunk_size_for_fps": 20000,
+        "normalization": "standardization",
+        "manifest_stats": {"dir": path},
+        "columns": ["nb_sol","nb_bati","nb_vegetation_basse",
+                    "nb_vegetation_moyenne","nb_vegetation_haute",
+                    "nb_pont","nb_eau","nb_sursol_perenne","nb_non_classes"]},
+}
+# two warm-up passes, distinct quotas (see PARQUET_WORKER comment)
+for wq in (7, 13):
+    wcfg = json.loads(json.dumps(cfg))
+    wcfg["target_total_num_patches"] = max(100, target // wq)
+    DiversitySampler(read_snapshot(spark, path), wcfg, seed=1).get_patches().count()
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+t0 = time.perf_counter()
+sel = DiversitySampler(read_snapshot(spark, path), json.loads(json.dumps(cfg)),
+                       seed=42).get_patches()
+row = sel.agg(
+    F.count("*").alias("n"),
+    F.sum(det_hash("patch_id", 99)).alias("hsum"),
+    F.sum(F.crc32(F.concat_ws("|", "patch_id", "split"))).alias("csum"),
+).first()
+dt = time.perf_counter() - t0
+import hashlib
+h = hashlib.md5(f"{row['n']}|{row['hsum']}|{row['csum']}".encode()).hexdigest()
+print(json.dumps({"cores": int(cores), "sec": dt, "n": row["n"],
+                  "patches_per_sec": row["n"]/dt, "result_md5": h}))
+"""
+
+PREPARE_SNAPSHOT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+db_size, path = int(sys.argv[1]), sys.argv[2]
+from pacasam_spark.session import get_spark
+from pacasam_spark.sources.synthetic import synthetic_catalogue
+from pacasam_spark.sources.snapshots import write_snapshot
+from pacasam_spark import schemas as S
+spark = get_spark(app_name="scaling_prepare_snapshot", cores=32)
+cols = ["patch_id", "file_id"] + list(S.NB_POINT_COLS)
+db = synthetic_catalogue(spark, db_size=db_size, exact_counts=False).select(*cols)
+write_snapshot(db, path, norm_columns=list(S.NB_POINT_COLS), count_key=S.FILE_ID)
+import os
+open(os.path.join(path, "_SUCCESS"), "w").close()  # prepare-once marker
+print("prepared", path)
+"""
+
 PREPARE_BUCKETED = r"""
 import sys
 sys.path.insert(0, "/root/repo")
@@ -332,6 +403,7 @@ def run(cores: int, db_size: int, target: int, sampler: str) -> dict:
         "tile": TILE_WORKER,
         "DiversityParquet": PARQUET_WORKER,
         "DiversityBucketed": BUCKETED_WORKER,
+        "DiversitySnapshot": SNAPSHOT_WORKER,
     }.get(sampler, WORKER)
     out = subprocess.run(
         [sys.executable, "-c", worker, str(cores), str(db_size), str(target), sampler],
@@ -354,6 +426,11 @@ def main() -> None:
             "SCALING_PARQUET", f"/tmp/scaling_catalogue_{db_size}.parquet"
         )
         prepare_parquet(db_size, path)
+    elif sampler == "DiversitySnapshot":
+        path = os.environ.setdefault(
+            "SCALING_SNAPSHOT", f"/tmp/scaling_catalogue_{db_size}_snapshot"
+        )
+        prepare_parquet(db_size, path, script=PREPARE_SNAPSHOT)
     elif sampler == "DiversityBucketed":
         path = os.environ.setdefault(
             "SCALING_BUCKETED", f"/tmp/scaling_catalogue_{db_size}_bucketed"
