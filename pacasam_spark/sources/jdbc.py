@@ -7,9 +7,13 @@ server evaluates the same SQL, and Spark fetches partitions in parallel
 across executors (partitionColumn/lowerBound/upperBound/numPartitions
 replace the chunk loop).
 
-No JDBC driver jar ships in this container, so this module is exercised
-by unit tests only up to option construction; on a cluster, add
-``--jars postgresql-*.jar``.
+Executed LIVE in this container against embedded Apache Derby — the
+database Spark already ships for its Hive metastore (jars/derby-*.jar):
+tests/test_jdbc_live.py runs the partitioned scan end-to-end (writer,
+bounded per-partition predicates, NULL/out-of-bounds routing, connector
+-> sampler flow) and validates :func:`partition_ranges` against the
+real engine's per-partition row counts. On a cluster, swap in
+``--jars postgresql-*.jar`` + the PostGIS url.
 """
 
 from __future__ import annotations
