@@ -201,12 +201,18 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
 
 
 def decode(data: bytes, fmt: str) -> np.ndarray:
-    if fmt in ("webp", "mp4", "wav"):
+    if fmt == "wav":
+        # PCM WAV decodes for real, but not to a pixel array — route
+        # audio payloads through pacasam_spark.audio.decode_wav
+        raise NotImplementedError(
+            "wav is an audio payload: use pacasam_spark.audio.decode_wav"
+        )
+    if fmt in ("webp", "mp4"):
         # Codecs that still need libs absent from this container; the
         # Spark-side plumbing (schema, batching, UDF signatures) is
         # identical — swap the codec table entry on a cluster with PIL /
-        # ffmpeg available. jpg/jpeg decode for real since round 7
-        # (pacasam_spark.jpegbase, baseline JFIF in pure numpy).
+        # ffmpeg available. jpg/jpeg (jpegbase) and las (pointcloud) and
+        # wav (audio) decode for real since round 7.
         raise NotImplementedError(f"codec {fmt!r} stubbed in this environment")
     return CODECS[fmt][1](data)
 
