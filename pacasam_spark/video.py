@@ -102,14 +102,26 @@ def frame_sample(
 
         for pdf in batches:
             rows = {c.split(" ")[0]: [] for c in cols}
-            pending: list[np.ndarray] = []
             for vid, payload, container in zip(
                 pdf[id_col], pdf[bytes_col], pdf[container_col]
             ):
                 frames, fps = _decode_container(
                     bytes(payload), container, every
                 )
-                for idx, arr in frames:
+                # phash batched PER VIDEO: decoded pixels held at once
+                # stay bounded by one video's sampled frames, not a
+                # whole Arrow batch of videos (at 1080p that difference
+                # is the OOM)
+                if with_phash and frames:
+                    arrs = [a for _i, a in frames]
+                    if len({a.shape for a in arrs}) == 1:
+                        hashes = [
+                            int(hv)
+                            for hv in imaging.phash64_batch(np.stack(arrs))
+                        ]
+                    else:
+                        hashes = [int(imaging.phash64(a)) for a in arrs]
+                for k, (idx, arr) in enumerate(frames):
                     rows[id_col].append(vid)
                     rows["frame_idx"].append(idx)
                     rows["t_sec"].append(idx / fps if fps else 0.0)
@@ -118,13 +130,7 @@ def frame_sample(
                     if out_fmt:
                         rows["bytes"].append(imaging.encode(arr, out_fmt))
                     if with_phash:
-                        pending.append(arr)
-            if with_phash:
-                if pending and len({a.shape for a in pending}) == 1:
-                    hashes = imaging.phash64_batch(np.stack(pending))
-                    rows["phash"] = [int(hv) for hv in hashes]
-                else:  # mixed sizes: per-frame (still one DCT per frame)
-                    rows["phash"] = [int(imaging.phash64(a)) for a in pending]
+                        rows["phash"].append(hashes[k])
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(sample, out_schema)
