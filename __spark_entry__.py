@@ -1280,29 +1280,56 @@ from chunked c join k using (chunk_id)
 """
 
 
-def q35_triple_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 composite sampler — driver-loop quotas, rows-only check
-    (constraint-level assertions live in pytest)."""
-    from pacasam_spark.samplers import TripleSampler
+Q35_CFG = {
+    "target_total_num_patches": 300,
+    "frac_validation_set": 0.1,
+    "TargettedSampler": {
+        "targets": {
+            "C0": {"target_min_samples_proportion": 0.20},
+            "C1": {"target_min_samples_proportion": 0.05},
+            "C3": {"target_min_samples_proportion": 0.2},
+        }
+    },
+    "DiversitySampler": {
+        "max_chunk_size_for_fps": 500,
+        "normalization": "standardization",
+        "columns": ["nb_sol", "nb_bati", "nb_eau", "nb_vegetation_haute"],
+    },
+}
+
+
+def q35_triple_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every SQL-expressible stage of the P6 TripleSampler, run through
+    the PRODUCTION code path (round-7 follow-up to the r6-verdict #3
+    pattern that staged q34/q40): the full TargettedSampler leg — quota
+    arithmetic incl. the take-what-there-is cap (C0's 60-quota vs ~10
+    matching rows), ascending-quota target order, per-target stratified
+    window-rank sample, split assignment with the rebased val fraction
+    seed, first-wins union precedence — plus the TripleSampler's
+    diversity-budget arithmetic as a column. Only the FPS argmax and the
+    spatial completion draw remain non-SQL; the complete TripleSampler
+    output stays golden-pinned at two core counts in
+    tests/test_golden.py."""
+    from pacasam_spark.samplers.targetted import TargettedSampler
+    from pacasam_spark.samplers.triple import diversity_budget
 
     db = synthetic_catalogue(spark, db_size=2000)
-    cfg = {
-        "target_total_num_patches": 300,
-        "frac_validation_set": 0.1,
-        "TargettedSampler": {
-            "targets": {
-                "C0": {"target_min_samples_proportion": 0.20},
-                "C1": {"target_min_samples_proportion": 0.05},
-                "C3": {"target_min_samples_proportion": 0.2},
-            }
-        },
-        "DiversitySampler": {
-            "max_chunk_size_for_fps": 500,
-            "normalization": "standardization",
-            "columns": ["nb_sol", "nb_bati", "nb_eau", "nb_vegetation_haute"],
-        },
-    }
-    return TripleSampler(db, cfg).get_patches()
+    ts = TargettedSampler(db, Q35_CFG, complete_with_spatial_sampling=False)
+    sel = ts.get_patches().persist()
+    n = sel.count()
+    budget = diversity_budget(Q35_CFG["target_total_num_patches"], n)
+    return sel.withColumn("num_diverse", F.lit(budget).cast("long"))
+
+
+def _q35_sql() -> str:
+    from pacasam_spark.samplers.targetted import targetted_sampler_sql
+
+    return targetted_sampler_sql(
+        synthetic_catalogue_sql(db_size=2000),
+        Q35_CFG,
+        seed=42,
+        with_diversity_budget=True,
+    )
 
 
 def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1940,7 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_image_metadata": q32_image_metadata,
         "q33_zone_join": q33_zone_join,
         "q34_fps_stages": q34_fps_stages,
-        "q35_triple_sampler": q35_triple_sampler,
+        "q35_triple_stages": q35_triple_stages,
         "q36_streaming_hourly": q36_streaming_hourly,
         "q37_stateful_user_counts": q37_stateful_user_counts,
         "q38_ingest_parity": q38_ingest_parity,
@@ -1999,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         # argmax (and q35's composite of it) stays golden-pinned
         # (tests/test_golden.py, two core counts).
         "q34_fps_stages": _q34_sql(),
+        "q35_triple_stages": _q35_sql(),
         "q36_streaming_hourly": Q36_SQL,
         "q37_stateful_user_counts": Q37_SQL,
         "q38_ingest_parity": _q38_sql(),

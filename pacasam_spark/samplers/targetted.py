@@ -92,3 +92,102 @@ class TargettedSampler(Sampler):
             num_to_sample=num_to_add, current_selection_ids=selection
         )
         return selection.unionByName(completion)
+
+
+def targetted_sampler_sql(
+    source_sql: str,
+    cf: dict,
+    seed: int = 42,
+    with_diversity_budget: bool = False,
+) -> str:
+    """DuckDB/ANSI oracle text for the whole no-completion
+    :class:`TargettedSampler` stage — quota arithmetic, boolean-descriptor
+    filter, per-target stratified window-rank cut, split assignment
+    (the nested exact-n val sample with its rebased seed), first-wins
+    union precedence — mirroring ``get_patches`` term by term so the
+    driver's value-hash compare certifies the production code path
+    (reference: samplers/targetted.py:13-105). With
+    ``with_diversity_budget`` the TripleSampler's follow-on quota
+    ``(target_total - n_targetted) // 2`` (reference: samplers/triple.py:18)
+    is emitted as a column, so the stage-budget arithmetic is oracled too.
+    The only TripleSampler stages NOT covered are the FPS argmax and the
+    spatial completion draw, golden-pinned in tests/test_golden.py.
+    """
+    from pacasam_spark.operators.hashing import det_hash_sql
+
+    target_total = cf["target_total_num_patches"]
+    frac = cf.get("frac_validation_set") or 0.0
+    targets = sorted(
+        cf["TargettedSampler"]["targets"].items(),
+        key=lambda kv: kv[1]["target_min_samples_proportion"],
+    )
+    ctes = [f"cat as ({source_sql})"]
+    branches = []
+    for i, (tname, objectives) in enumerate(targets):
+        quota = int(objectives["target_min_samples_proportion"] * target_total)
+        h = det_hash_sql("patch_id", seed + 7 * i)
+        hv = det_hash_sql("patch_id", seed + 7 * i + 1)
+        ctes.append(
+            f"m{i} as (select patch_id, file_id from cat where {tname})"
+        )
+        ctes.append(
+            f"""r{i} as (
+  select patch_id, file_id,
+         row_number() over (partition by file_id order by {h}, patch_id) as rk
+  from m{i})"""
+        )
+        ctes.append(
+            f"""s{i} as (
+  select patch_id, file_id from (
+    select patch_id, file_id,
+           row_number() over (order by rk, {h}, patch_id) as cut
+    from r{i})
+  where cut <= {quota})"""
+        )
+        if frac:
+            ctes.append(
+                f"""vr{i} as (
+  select patch_id,
+         row_number() over (partition by file_id order by {hv}, patch_id) as rk
+  from s{i})"""
+            )
+            ctes.append(
+                f"""vc{i} as (
+  select patch_id, row_number() over (order by rk, {hv}, patch_id) as vcut
+  from vr{i})"""
+            )
+            split_expr = (
+                f"case when v.vcut <= cast(floor({frac} * "
+                f"(select count(*) from s{i}) + 1e-9) as bigint) "
+                "then 'val' else 'train' end"
+            )
+            ctes.append(
+                f"""t{i} as (
+  select s.patch_id, {split_expr} as split,
+         'TargettedSampler' as sampler, {i} as prio
+  from s{i} s join vc{i} v using (patch_id))"""
+            )
+        else:
+            ctes.append(
+                f"""t{i} as (
+  select patch_id, 'test' as split, 'TargettedSampler' as sampler, {i} as prio
+  from s{i})"""
+            )
+        branches.append(f"select * from t{i}")
+    union = "\nunion all\n".join(branches)
+    ctes.append(f"u as ({union})")
+    ctes.append(
+        """final as (
+  select patch_id, split, sampler from (
+    select *, row_number() over (partition by patch_id order by prio) as rn
+    from u)
+  where rn = 1)"""
+    )
+    body = ",\n".join(ctes)
+    if with_diversity_budget:
+        budget = (
+            f"cast(floor(({target_total} - (select count(*) from final)) / 2.0)"
+            " as bigint) as num_diverse"
+        )
+        return f"with {body}\nselect patch_id, split, sampler, {budget} from final"
+    return f"with {body}\nselect patch_id, split, sampler from final"

@@ -20,6 +20,14 @@ from pacasam_spark.samplers.spatial import SpatialSampler
 from pacasam_spark.samplers.targetted import TargettedSampler
 
 
+def diversity_budget(target_total: int, n_targetted: int) -> int:
+    """Half the remainder after targetted sampling (reference:
+    samplers/triple.py:18) — negative when constraints exceed 100%.
+    Factored out so q35's staged oracle checks the same arithmetic the
+    pipeline runs."""
+    return (target_total - n_targetted) // 2
+
+
 class TripleSampler(Sampler):
     def get_patches(self) -> DataFrame:
         target_total = self.cf["target_total_num_patches"]
@@ -31,7 +39,7 @@ class TripleSampler(Sampler):
         targetted = self._stage("targetted", ts.get_patches)
         n_targetted = targetted.count()
 
-        num_diverse = (target_total - n_targetted) // 2  # half of remainder
+        num_diverse = diversity_budget(target_total, n_targetted)
         if num_diverse < 0:
             # reference warns (with a typo crash, triple.py:21 — not
             # replicated) and returns the targetted selection alone.

@@ -38,6 +38,7 @@ bucket transform. Reference: pacasam writes one flat GeoPackage per run
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -236,6 +237,8 @@ def write_snapshot(
     norm_columns: list[str] | None = None,
     count_key: str | None = None,
     mode: str = "overwrite",
+    bucket_by: tuple[str, int] | None = None,
+    sort_by: tuple[str, ...] | None = None,
     _removed: list[tuple[int, str]] | None = None,
     _removed_rows: int = 0,
 ) -> int:
@@ -281,9 +284,29 @@ def write_snapshot(
     an append onto an empty table degrades to an overwrite.
     ``mode="upsert"`` is internal plumbing for :func:`upsert_snapshot`
     (which computes ``_removed``/``_removed_rows``) — the commit adds
-    ``df``'s files AND logically removes the listed parent files."""
+    ``df``'s files AND logically removes the listed parent files.
+
+    ``bucket_by=(key, n)`` writes the version's data files in Spark's
+    bucketed layout — the Iceberg ``bucket(n, key)`` partition transform
+    — with exactly one file per bucket, per-file sorted by ``sort_by``
+    (default: the bucket key), and records the layout in the manifest.
+    :func:`read_snapshot` then serves the version as a catalog-backed
+    bucketed scan: ``Window.partitionBy(key)`` / ``groupBy(key)`` over
+    it plan ZERO exchanges, so combined with ``norm_columns`` /
+    ``count_key`` a Diversity run over the table does ONE data scan and
+    ONE shuffle (the FPS chunk exchange) instead of two scans and two
+    shuffles. Layout applies to overwrite commits (appends/upserts add
+    foreign files the bucketed-scan contract can't cover — recover the
+    layout with :func:`compact_snapshots`)."""
     if mode not in ("overwrite", "append", "upsert"):
         raise ValueError(f"mode must be overwrite|append|upsert, got {mode!r}")
+    if bucket_by is not None and mode != "overwrite":
+        raise ValueError(
+            "bucket_by applies to overwrite commits only — an append/upsert "
+            "mixes bucketed and foreign files under one version, which the "
+            "bucketed-scan contract cannot honor; compact_snapshots(..., "
+            "bucket_by=...) restores the layout"
+        )
     _check_stats_columns(df, stats_columns)
     _check_norm_columns(df, norm_columns, count_key)
     os.makedirs(table_dir, exist_ok=True)
@@ -334,7 +357,34 @@ def write_snapshot(
             m["files"][f]
             for m, f in _live_files(_resolve_chain(table_dir, parent))
         )
-    df.write.mode("overwrite").parquet(data_dir)
+    layout = None
+    if bucket_by is not None:
+        bucket_key, n_buckets = bucket_by
+        sort_keys = tuple(sort_by) if sort_by else (bucket_key,)
+        # One-file-per-bucket bucketed write (see sources/bucketed.py for
+        # why: >1 file per bucket makes Spark discard the SORTED BY
+        # metadata at scan time). saveAsTable is the only writer that
+        # emits bucket metadata; an external path + DROP keeps the files.
+        tmp = f"__snap_write_{hashlib.md5(data_dir.encode()).hexdigest()[:12]}"
+        spark0 = df.sparkSession
+        spark0.sql(f"DROP TABLE IF EXISTS {tmp}")
+        (
+            df.repartition(n_buckets, F.col(bucket_key))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, bucket_key)
+            .sortBy(*sort_keys)
+            .option("path", data_dir)
+            .saveAsTable(tmp)
+        )
+        spark0.sql(f"DROP TABLE {tmp}")
+        layout = {
+            "bucket_key": bucket_key,
+            "n_buckets": n_buckets,
+            "sort_keys": list(sort_keys),
+        }
+    else:
+        df.write.mode("overwrite").parquet(data_dir)
 
     spark = df.sparkSession
     written = spark.read.parquet(data_dir)
@@ -422,6 +472,10 @@ def write_snapshot(
             for r in parts
         },
         "metadata": metadata or {},
+        # physical data layout of THIS version's files (Iceberg's
+        # bucket(n, key) partition transform); readers that resolve to a
+        # single bucketed commit serve a zero-exchange bucketed scan.
+        "layout": layout,
         # wall-clock commit instant (epoch seconds) — AS OF time travel
         "committed_at": time.time(),
     }
@@ -548,7 +602,32 @@ def read_snapshot(
                 "survives for inspection but the data is gone"
             )
     if bounds is None and len(chain) == 1:
-        return spark.read.parquet(os.path.join(_vdir(table_dir, version), "data"))
+        data_dir = os.path.join(_vdir(table_dir, version), "data")
+        layout = chain[0].get("layout")
+        if layout:
+            # Serve the version as a catalog-backed bucketed scan so
+            # windows/aggregations on the bucket key plan no Exchange.
+            # The name is content-addressed by (dir, version) and
+            # snapshots are immutable, so an existing registration is
+            # simply reused (re-running the DDL would needlessly
+            # invalidate cached plans over the table).
+            from pacasam_spark.sources.bucketed import register_bucketed_catalogue
+
+            digest = hashlib.md5(
+                f"{os.path.abspath(table_dir)}@{version}".encode()
+            ).hexdigest()[:16]
+            name = f"snap_bucketed_{digest}"
+            if spark.catalog.tableExists(name):
+                return spark.table(name)
+            return register_bucketed_catalogue(
+                spark,
+                name,
+                data_dir,
+                n_buckets=layout["n_buckets"],
+                bucket_key=layout["bucket_key"],
+                sort_keys=tuple(layout["sort_keys"]),
+            )
+        return spark.read.parquet(data_dir)
     # explicit file list: the version's live files (own + — through
     # append/upsert links — ancestors', minus upsert-removed ones), each
     # pruned against its OWN manifest's per-file bounds (append/upsert
@@ -848,6 +927,8 @@ def compact_snapshots(
     n_files: int = 32,
     norm_columns: list[str] | None = None,
     count_key: str | None = None,
+    bucket_by: tuple[str, int] | None = None,
+    sort_by: tuple[str, ...] | None = None,
 ) -> int:
     """Rewrite the latest version's append chain into ONE overwrite
     commit (Iceberg's rewrite_data_files + expire pattern): a long
@@ -858,7 +939,12 @@ def compact_snapshots(
     clusters the rewrite on the Morton curve (spatial/zorder.py) so the
     recorded ``stats_columns`` bounds become selective again. The
     commit is atomic like any snapshot commit — readers see the old
-    chain or the compacted version, never a half state."""
+    chain or the compacted version, never a half state. ``bucket_by``
+    lays the rewrite out bucketed (mutually exclusive with ``zorder`` —
+    two competing physical orders), restoring zero-exchange reads after
+    an append chain diluted the layout."""
+    if bucket_by is not None and zorder is not None:
+        raise ValueError("bucket_by and zorder are competing layouts — pick one")
     latest = read_snapshot(spark, table_dir)
     parent = _committed_versions(table_dir)[-1]
     if zorder is not None:
@@ -874,6 +960,8 @@ def compact_snapshots(
         norm_columns=norm_columns,
         count_key=count_key,
         mode="overwrite",
+        bucket_by=bucket_by,
+        sort_by=sort_by,
     )
 
 

@@ -41,9 +41,15 @@ def _fps_diversity(spark):
 
 
 def _triple_sampler(spark):
+    """The complete P6 composite (q35's staged surroundings moved into
+    the q35_triple_stages oracle in round 7; the full pipeline output —
+    FPS argmax + spatial completion included — stays pinned here,
+    checksum unchanged)."""
     import __spark_entry__ as E
+    from pacasam_spark.samplers import TripleSampler
 
-    return E.queries()["q35_triple_sampler"](spark, "/root/testdata/sf0.01")
+    db = synthetic_catalogue(spark, db_size=2000)
+    return TripleSampler(db, E.Q35_CFG).get_patches()
 
 
 def _outlier_scores(spark):

@@ -173,3 +173,46 @@ def test_standardize_stats_param(spark, tmp_path):
     assert a == b
     with pytest.raises(ValueError, match="stats="):
         standardize(cat, COLS, stats=stats, file_counts_key="file_id")
+
+
+def test_combined_bucketed_manifest_layout(spark, tmp_path):
+    """Round-7 combined layout: a snapshot written bucketed AND with
+    stats serves Diversity with ZERO stats scan (manifest-fed), ZERO
+    file_id exchanges (bucketed scan), and a selection bit-identical to
+    the plain two-scan pipeline."""
+    tbl = str(tmp_path / "tbl")
+    plain = synthetic_catalogue(spark, db_size=4000)
+    write_snapshot(
+        plain,
+        tbl,
+        norm_columns=COLS,
+        count_key="file_id",
+        bucket_by=("file_id", 8),
+        sort_by=("file_id", "patch_id"),
+    )
+    cat = read_snapshot(spark, tbl)
+    cfg = {
+        "target_total_num_patches": 150,
+        "frac_validation_set": 0.1,
+        "DiversitySampler": {"max_chunk_size_for_fps": 800, "columns": COLS},
+    }
+    base = sorted(
+        (r["patch_id"], r["split"])
+        for r in DiversitySampler(plain, cfg).get_patches().collect()
+    )
+    cfg["DiversitySampler"]["manifest_stats"] = {"dir": tbl}
+    sampler = DiversitySampler(cat, cfg)
+    fed = sorted(
+        (r["patch_id"], r["split"]) for r in sampler.get_patches().collect()
+    )
+    assert base == fed
+    # plan gate: the normalized+chunked stage over the bucketed table
+    # shuffles only for the FPS chunk exchange, never on file_id
+    from pacasam_spark.operators.fps import add_deterministic_chunk_ids
+
+    chunked = add_deterministic_chunk_ids(
+        cat.select("patch_id", "file_id"), 800
+    )
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Bucketed: true" in plan

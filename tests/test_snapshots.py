@@ -522,3 +522,84 @@ def test_as_of_timestamp_time_travel(spark, tmp_path):
         read_snapshot(spark, d, as_of=t1 - 60.0)
     with pytest.raises(ValueError, match="not both"):
         read_snapshot(spark, d, version=1, as_of=t2)
+
+
+# --- bucketed snapshot layout (round 7: combined layout — zero-exchange
+# scan AND manifest-fed stats from one table) -----------------------------
+
+
+def _n_exchanges(df) -> int:
+    return df._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_bucketed_snapshot_zero_exchange_and_identical_rows(spark, tmp_path):
+    from pacasam_spark.operators.fps import add_deterministic_chunk_ids
+    from pacasam_spark.sources.synthetic import synthetic_catalogue
+
+    d = str(tmp_path / "tbl")
+    db = synthetic_catalogue(spark, db_size=2000)
+    v = write_snapshot(
+        db,
+        d,
+        bucket_by=("file_id", 8),
+        sort_by=("file_id", "patch_id"),
+        norm_columns=["nb_sol"],
+        count_key="file_id",
+    )
+    m = snapshots(d)[-1]
+    assert m["layout"] == {
+        "bucket_key": "file_id",
+        "n_buckets": 8,
+        "sort_keys": ["file_id", "patch_id"],
+    }
+    tbl = read_snapshot(spark, d, version=v)
+    # content identical to the source
+    assert tbl.count() == 2000
+    assert (
+        tbl.exceptAll(db).count() == 0 and db.exceptAll(tbl).count() == 0
+    )
+    # the chunk-rank stage plans no shuffle over the bucketed scan
+    chunked = add_deterministic_chunk_ids(tbl.select("patch_id", "file_id"), 100)
+    assert _n_exchanges(chunked) == 0
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    # manifest stats recorded alongside the layout (the combined win)
+    from pacasam_spark.sources.snapshots import snapshot_fps_inputs
+
+    stats, counts = snapshot_fps_inputs(spark, d, ["nb_sol"], "file_id")
+    assert stats["cnt_nb_sol"] > 0
+    assert counts.agg(F.sum("count")).first()[0] == 2000
+
+
+def test_bucketed_snapshot_append_falls_back_to_plain_read(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id").alias("patch_id"), (F.col("id") % 4).alias("file_id")
+    )
+    write_snapshot(df, d, bucket_by=("file_id", 4))
+    more = spark.range(100, 120).select(
+        F.col("id").alias("patch_id"), (F.col("id") % 4).alias("file_id")
+    )
+    write_snapshot(more, d, mode="append")
+    out = read_snapshot(spark, d)
+    assert out.count() == 120  # chain read is correct, just not bucketed
+    # layout-aware reads come back after a bucketed compaction
+    from pacasam_spark.sources.snapshots import compact_snapshots
+
+    v3 = compact_snapshots(spark, d, bucket_by=("file_id", 4))
+    assert snapshots(d)[-1]["layout"]["n_buckets"] == 4
+    grouped = read_snapshot(spark, d, version=v3).groupBy("file_id").count()
+    assert _n_exchanges(grouped) == 0
+    assert grouped.count() == 4
+
+
+def test_bucketed_snapshot_rejects_append_mode(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    df = spark.range(10).select(
+        F.col("id").alias("patch_id"), (F.col("id") % 2).alias("file_id")
+    )
+    write_snapshot(df, d)
+    with pytest.raises(ValueError, match="overwrite commits only"):
+        write_snapshot(df, d, mode="append", bucket_by=("file_id", 2))
