@@ -129,24 +129,38 @@ def main() -> None:
     }
     db = synthetic_catalogue(spark, db_size=db_size, exact_counts=False)
 
-    # Both layouts (flat in-memory catalogue vs the bucketed Iceberg-
-    # bucket-transform analogue, sources/bucketed.py) run n_trials times,
-    # A/B interleaved within each round so the layout comparison shares
-    # each round's frequency weather. The one-time bucketed write is
-    # ingest cost and stays untimed.
+    # Both layouts — flat in-memory catalogue vs the COMBINED snapshot
+    # layout (round 7: write_snapshot(bucket_by=..., norm_columns=...,
+    # count_key=...) — Iceberg bucket(n, file_id) transform + manifest-
+    # carried stats): the combined leg plans ZERO file_id exchanges
+    # (bucketed scan) AND zero stats scans (manifest-fed), so each
+    # sampling run reads the data once and shuffles once. Run n_trials
+    # times A/B interleaved within each round so the layout comparison
+    # shares each round's frequency weather. The one-time snapshot
+    # commit is ingest cost and stays untimed.
+    import copy
     import shutil
     import tempfile
 
-    from pacasam_spark.sources.bucketed import write_bucketed_catalogue
+    from pacasam_spark.sources.snapshots import read_snapshot, write_snapshot
 
     trials["triple_sampler_pipeline"] = []
-    trials["triple_sampler_bucketed"] = []
+    trials["triple_sampler_snapshot"] = []
     n_sampled = 0
-    bdir = tempfile.mkdtemp(prefix="bench_bucketed_")
+    bdir = tempfile.mkdtemp(prefix="bench_snapshot_")
+    tbl = f"{bdir}/catalogue"
     try:
-        bucketed = write_bucketed_catalogue(
-            db, "bench_bucketed_catalogue", f"{bdir}/catalogue"
+        write_snapshot(
+            db,
+            tbl,
+            norm_columns=cfg["DiversitySampler"]["columns"],
+            count_key="file_id",
+            bucket_by=("file_id", 32),
+            sort_by=("file_id", "patch_id"),
         )
+        snap = read_snapshot(spark, tbl)
+        cfg_snap = copy.deepcopy(cfg)
+        cfg_snap["DiversitySampler"]["manifest_stats"] = {"dir": tbl}
         for _ in range(n_trials):
             # clearCache between trials: the pipeline persists
             # intermediates and identical plans would donate them to the
@@ -161,25 +175,27 @@ def main() -> None:
             db.unpersist()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            n_b = TripleSampler(bucketed, cfg).get_patches().count()
-            trials["triple_sampler_bucketed"].append(
+            n_b = TripleSampler(snap, cfg_snap).get_patches().count()
+            trials["triple_sampler_snapshot"].append(
                 round(time.perf_counter() - t0, 3)
             )
             assert n_b == n_sampled, (n_b, n_sampled)
             spark.sparkContext._jvm.System.gc()
     finally:
-        # DROP must run even when the bucketed leg throws: the temp data
-        # dir is removed below, and a stale metastore entry pointing at a
+        # DROP must run even when the snapshot leg throws: the temp data
+        # dir is removed below, and a stale catalog entry pointing at a
         # deleted location breaks the next run in the same warehouse.
-        spark.sql("DROP TABLE IF EXISTS bench_bucketed_catalogue")
+        for t in spark.catalog.listTables():
+            if t.name.startswith("snap_bucketed_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
         shutil.rmtree(bdir, ignore_errors=True)
 
     dt = min(trials["triple_sampler_pipeline"])
-    dt_b = min(trials["triple_sampler_bucketed"])
+    dt_b = min(trials["triple_sampler_snapshot"])
     timings["triple_sampler_pipeline"] = dt
-    timings["triple_sampler_bucketed"] = dt_b
+    timings["triple_sampler_snapshot"] = dt_b
     patches_per_sec = n_sampled / dt if dt > 0 else 0.0
-    bucketed_speedup = dt / dt_b if dt_b > 0 else 0.0
+    snapshot_speedup = dt / dt_b if dt_b > 0 else 0.0
 
     total = round(sum(timings.values()), 3)
     print(
@@ -194,11 +210,14 @@ def main() -> None:
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "throughput": {
                     "sampled_patches_per_sec": round(patches_per_sec, 1),
+                    "sampled_patches_per_sec_snapshot": round(
+                        n_sampled / dt_b if dt_b > 0 else 0.0, 1
+                    ),
                     "catalogue_size": db_size,
                     "sampling_target": target,
                     "n_sampled": n_sampled,
                     "cpus": cpus,
-                    "bucketed_layout_speedup": round(bucketed_speedup, 3),
+                    "snapshot_layout_speedup": round(snapshot_speedup, 3),
                 },
             }
         )

@@ -187,12 +187,26 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     return decode_jpeg(data)
 
 
+def _encode_tiff(arr: np.ndarray) -> bytes:
+    from pacasam_spark.geotiff import encode_tiff
+
+    return encode_tiff(arr)
+
+
+def _decode_tiff(data: bytes) -> np.ndarray:
+    from pacasam_spark.geotiff import decode_tiff
+
+    return decode_tiff(data)
+
+
 CODECS = {
     "png": (encode_png, decode_png),
     "q6": (encode_q6, decode_q6),
     "jl": (encode_jl, decode_jl),
     "jpg": (_encode_jpeg, _decode_jpeg),
     "jpeg": (_encode_jpeg, _decode_jpeg),
+    "tif": (_encode_tiff, _decode_tiff),
+    "tiff": (_encode_tiff, _decode_tiff),
 }
 
 
