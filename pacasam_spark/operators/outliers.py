@@ -121,3 +121,54 @@ def knn_outlier_scores(
         return out
 
     return carve_chunk_runs(chunked, process, out_schema, sort_keys=(GLOBAL_RANK,))
+
+
+def glosh_outlier_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    min_samples: int = 50,
+    min_cluster_size: int = 50,
+    max_chunk_size: int = 5000,
+    keep_cols: list[str] | None = None,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """M5 for real: chunk-local HDBSCAN* labels + GLOSH outlier scores
+    (operators/hdbscan_np.py — excess-of-mass selection, noise -1),
+    the reference's ``HDBSCAN(**kwargs).fit`` + ``outlier_scores_``
+    contract (reference: samplers/outliers.py:58-61; config
+    Lipac.yml:55-58 pins min_cluster_size=50, min_samples=50, eom).
+    Same carver framing and chunk assignment as the kNN scorer, so the
+    two are drop-in interchangeable."""
+    keep = keep_cols or [S.PATCH_ID, S.FILE_ID]
+    chunked = add_deterministic_chunk_ids(
+        df, max_chunk_size, counts=counts, keep_rank=True
+    )
+    cols = list(dict.fromkeys(keep + feature_cols + [CHUNK_ID, GLOBAL_RANK]))
+    chunked = chunked.select(*cols)
+
+    field_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {field_types[c]}" for c in keep]
+        + [f"{CLUSTER_ID} int", f"{OUTLIER_SCORE} double"]
+    )
+
+    import pyarrow as pa
+
+    def process(tbl: "pa.Table") -> "pa.Table":
+        from pacasam_spark.operators.hdbscan_np import hdbscan_chunk
+
+        x = np.column_stack(
+            [
+                tbl.column(c).to_numpy(zero_copy_only=False)
+                for c in feature_cols
+            ]
+        ).astype(float, copy=False)
+        labels, score = hdbscan_chunk(
+            x, min_samples=min_samples, min_cluster_size=min_cluster_size
+        )
+        out = tbl.select(keep)
+        out = out.append_column(CLUSTER_ID, pa.array(labels.astype("int32")))
+        out = out.append_column(OUTLIER_SCORE, pa.array(score.astype(float)))
+        return out
+
+    return carve_chunk_runs(chunked, process, out_schema, sort_keys=(GLOBAL_RANK,))
