@@ -152,10 +152,27 @@ def video_metadata(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             rows = {k: pdf[k] for k in keep}
             fps_l, n_l, dur = [], [], []
             for payload in pdf[bytes_col]:
-                fps, n, _fmt, _off = _vraw_header(bytes(payload))
-                fps_l.append(fps)
-                n_l.append(n)
-                dur.append(n / fps if fps else 0.0)
+                b = bytes(payload)
+                if b[:4] == b"VRAW":
+                    fps, n, _fmt, _off = _vraw_header(b)
+                    fps_l.append(fps)
+                    n_l.append(n)
+                    dur.append(n / fps if fps else 0.0)
+                else:
+                    # ISO BMFF: REAL demux (pacasam_spark.mp4box) — the
+                    # metadata path works on actual mp4 files even though
+                    # frame decode stays stubbed (no H.264 lib here)
+                    from pacasam_spark.mp4box import mp4_metadata
+
+                    m = mp4_metadata(b)
+                    vid = next(
+                        (t for t in m["tracks"] if t["handler"] == "vide"),
+                        None,
+                    )
+                    n = vid["n_samples"] if vid else 0
+                    fps_l.append(int(round(vid.get("fps", 0))) if vid else 0)
+                    n_l.append(n)
+                    dur.append(m["duration_sec"])
             yield pd.DataFrame(
                 {**rows, "fps": fps_l, "n_frames": n_l, "duration_sec": dur}
             )

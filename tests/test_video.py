@@ -73,3 +73,59 @@ def test_mp4_is_an_honest_stub(spark):
     )
     with pytest.raises(Exception, match="stubbed"):
         frame_sample(df, every=10).collect()
+
+
+# --- ISO BMFF (mp4) demux: real metadata path (pacasam_spark.mp4box) ----
+
+
+def test_mp4_build_parse_round_trip():
+    from pacasam_spark.mp4box import build_mp4, mp4_metadata, walk_boxes
+
+    data = build_mp4(width=128, height=72, n_frames=96, fps=24,
+                     mdat=b"\x17" * 960)
+    m = mp4_metadata(data)
+    assert m["brand"] == "isom"
+    t = m["tracks"][0]
+    assert (t["width"], t["height"]) == (128, 72)
+    assert t["n_samples"] == 96
+    assert t["codec"] == "avc1" and t["handler"] == "vide"
+    assert t["language"] == "und"
+    # fps=24 divides the default 12288 timescale exactly
+    assert m["duration_sec"] == 4.0 and t["fps"] == 24.0
+    types = [b[0] for b in walk_boxes(data)]
+    for required in ("ftyp", "moov", "mvhd", "trak", "tkhd", "mdia",
+                     "mdhd", "hdlr", "minf", "stbl", "stsd", "stts",
+                     "stsz", "stco", "mdat"):
+        assert required in types, required
+
+
+def test_mp4_malformed_rejected():
+    import pytest as _pytest
+
+    from pacasam_spark.mp4box import mp4_metadata
+
+    with _pytest.raises(ValueError, match="not an ISO BMFF"):
+        mp4_metadata(b"RIFFxxxxWAVE" + b"\0" * 32)
+    with _pytest.raises(ValueError, match="malformed box"):
+        import struct as _s
+
+        bad = _s.pack(">I4s", 3, b"ftyp")  # size < header
+        mp4_metadata(bad + b"\0" * 16)
+
+
+def test_video_metadata_dispatches_on_container(spark):
+    """video_metadata serves BOTH containers in one pass: vraw headers
+    and real mp4 box trees."""
+    from pacasam_spark.mp4box import build_mp4
+    from pacasam_spark.video import synth_video, video_metadata
+
+    rows = [
+        ("v1", bytearray(synth_video("v1", n_frames=12, fps=6))),
+        ("m1", bytearray(build_mp4(n_frames=48, fps=24))),
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    got = {r["video_id"]: r for r in video_metadata(df).collect()}
+    assert got["v1"]["n_frames"] == 12 and got["v1"]["fps"] == 6
+    assert got["v1"]["duration_sec"] == 2.0
+    assert got["m1"]["n_frames"] == 48 and got["m1"]["fps"] == 24
+    assert got["m1"]["duration_sec"] == 2.0

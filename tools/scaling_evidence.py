@@ -315,6 +315,28 @@ open(os.path.join(path, "_SUCCESS"), "w").close()  # prepare-once marker
 print("prepared", path)
 """
 
+PREPARE_SNAPBUCKET = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+db_size, path = int(sys.argv[1]), sys.argv[2]
+from pacasam_spark.session import get_spark
+from pacasam_spark.sources.synthetic import synthetic_catalogue
+from pacasam_spark.sources.snapshots import write_snapshot
+from pacasam_spark import schemas as S
+spark = get_spark(app_name="scaling_prepare_snapbucket", cores=32)
+cols = ["patch_id", "file_id"] + list(S.NB_POINT_COLS)
+db = synthetic_catalogue(spark, db_size=db_size, exact_counts=False).select(*cols)
+# the round-7 COMBINED layout: bucket(32, file_id) data files AND
+# manifest-carried stats in one commit — zero exchanges + zero stats
+# scans for every sampling run afterwards
+write_snapshot(db, path, norm_columns=list(S.NB_POINT_COLS),
+               count_key=S.FILE_ID, bucket_by=(S.FILE_ID, 32),
+               sort_by=(S.FILE_ID, "patch_id"))
+import os
+open(os.path.join(path, "_SUCCESS"), "w").close()  # prepare-once marker
+print("prepared", path)
+"""
+
 PREPARE_BUCKETED = r"""
 import sys
 sys.path.insert(0, "/root/repo")
@@ -404,6 +426,9 @@ def run(cores: int, db_size: int, target: int, sampler: str) -> dict:
         "DiversityParquet": PARQUET_WORKER,
         "DiversityBucketed": BUCKETED_WORKER,
         "DiversitySnapshot": SNAPSHOT_WORKER,
+        # the combined layout reads through the same snapshot worker —
+        # read_snapshot auto-detects the bucketed layout in the manifest
+        "DiversitySnapBucket": SNAPSHOT_WORKER,
     }.get(sampler, WORKER)
     out = subprocess.run(
         [sys.executable, "-c", worker, str(cores), str(db_size), str(target), sampler],
@@ -431,6 +456,11 @@ def main() -> None:
             "SCALING_SNAPSHOT", f"/tmp/scaling_catalogue_{db_size}_snapshot"
         )
         prepare_parquet(db_size, path, script=PREPARE_SNAPSHOT)
+    elif sampler == "DiversitySnapBucket":
+        path = os.environ.setdefault(
+            "SCALING_SNAPSHOT", f"/tmp/scaling_catalogue_{db_size}_snapbucket"
+        )
+        prepare_parquet(db_size, path, script=PREPARE_SNAPBUCKET)
     elif sampler == "DiversityBucketed":
         path = os.environ.setdefault(
             "SCALING_BUCKETED", f"/tmp/scaling_catalogue_{db_size}_bucketed"
