@@ -613,8 +613,12 @@ def read_snapshot(
             # invalidate cached plans over the table).
             from pacasam_spark.sources.bucketed import register_bucketed_catalogue
 
+            # committed_at joins the digest so a table dir that was
+            # deleted and re-created in the same session never reuses a
+            # stale registration pointing at the old files
             digest = hashlib.md5(
-                f"{os.path.abspath(table_dir)}@{version}".encode()
+                f"{os.path.abspath(table_dir)}@{version}"
+                f"@{chain[0].get('committed_at', 0.0)}".encode()
             ).hexdigest()[:16]
             name = f"snap_bucketed_{digest}"
             if spark.catalog.tableExists(name):

@@ -497,3 +497,52 @@ def test_run_curation_incremental_over_snapshot_table(spark, tmp_path):
     corpus = read_snapshot(spark, outtbl)
     got = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
     assert got == list(range(80))  # cumulative, min-id survivors only
+
+
+def test_commit_catalogue_cli(spark, tmp_path, capsys):
+    """tools/commit_catalogue.py: one ingest commit producing the
+    combined layout — bucketed files + manifest stats + key counts —
+    then run_sampling --catalogue-table consumes it with zero stats
+    scans and a zero-exchange bucketed scan."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "commit_catalogue", "/root/repo/tools/commit_catalogue.py"
+    )
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+
+    from pacasam_spark.sources.synthetic import synthetic_catalogue
+
+    src = str(tmp_path / "src.parquet")
+    synthetic_catalogue(spark, db_size=800).write.parquet(src)
+    tbl = str(tmp_path / "table")
+    cc.main([
+        "--input", src, "--table", tbl,
+        "--bucket-key", "file_id", "--buckets", "4",
+        "--norm-columns", "nb_sol,nb_bati", "--count-key", "file_id",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 800 and out["version"] == 1
+    assert out["layout"]["n_buckets"] == 4
+    assert out["manifest_stats"] and out["key_counts"] == "file_id"
+
+    from pacasam_spark.sources.snapshots import read_snapshot
+
+    tdf = read_snapshot(spark, tbl)
+    assert tdf.count() == 800
+    grouped = tdf.groupBy("file_id").count()
+    plan = grouped._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+    # gpkg input path: round-trip through the GeoPackage writer
+    from pacasam_spark.sources.geopkg import write_gpkg
+
+    g = str(tmp_path / "cat.gpkg")
+    write_gpkg(
+        synthetic_catalogue(spark, db_size=100), g, table="catalogue"
+    )
+    tbl2 = str(tmp_path / "table2")
+    cc.main(["--input", g, "--table", tbl2])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows"] == 100 and out2["layout"] is None

@@ -32,9 +32,13 @@ def rows_strategy():
 # "evolve" is an APPEND that introduces a new nullable column w (Iceberg
 # add-column): older files must null-backfill on later reads while time
 # travel to pre-evolution versions keeps the old two-column schema.
+# "bucketed" is an OVERWRITE committed in the bucketed layout (round 7):
+# reads of that version go through the catalog-table branch of
+# read_snapshot and must stay row-identical to the model, including
+# time travel after later plain commits.
 ops_strategy = st.lists(
     st.tuples(
-        st.sampled_from(["overwrite", "append", "upsert", "evolve"]),
+        st.sampled_from(["overwrite", "append", "upsert", "evolve", "bucketed"]),
         rows_strategy(),
     ),
     min_size=2,
@@ -85,7 +89,13 @@ def test_commit_sequence_matches_model(spark, tmp_path_factory, ops):
             (k, v, v.upper() if evolved else None) for k, v in rows.items()
         )
         df = _df(spark, rows, evolved)
-        if op == "overwrite":
+        if op == "bucketed":
+            v = write_snapshot(
+                df, d, stats_columns=["patch_id"],
+                bucket_by=("patch_id", 2),
+            )
+            model = batch
+        elif op == "overwrite":
             v = write_snapshot(df, d, stats_columns=["patch_id"])
             model = batch
         elif op == "append":
