@@ -202,16 +202,19 @@ def q06_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(li, orders.o_orderkey == li.l_orderkey).withColumn(
         "day_dist", F.abs(F.datediff("l_shipdate", "o_orderdate") - F.lit(45))
     )
-    # rank-1 == lexicographic min of (day_dist, l_linenumber): a hash
-    # aggregation with MAP-SIDE partial min instead of a sort-window —
-    # the post-join shuffle carries one row per order, not every lineitem.
+    # rank-1 == lexicographic min of (day_dist, l_linenumber), packed into
+    # ONE long (l_linenumber is 1..7 < 8, so numeric order == lexicographic
+    # order): min(long) runs as a HashAggregate with MAP-SIDE partial min —
+    # min(struct) would plan a SortAggregate (sort + exchange + sort over
+    # every joined row), and the post-join shuffle carries one packed long
+    # per order, not every lineitem.
     best = joined.groupBy("o_orderkey").agg(
-        F.min(F.struct("day_dist", "l_linenumber")).alias("__b")
+        F.min(F.col("day_dist").cast("long") * 8 + F.col("l_linenumber")).alias("__p")
     )
     return best.select(
         "o_orderkey",
-        F.col("__b.l_linenumber").alias("l_linenumber"),
-        F.col("__b.day_dist").alias("day_dist"),
+        F.pmod("__p", F.lit(8)).cast("int").alias("l_linenumber"),
+        (F.col("__p") / 8).cast("int").alias("day_dist"),
     )
 
 

@@ -31,25 +31,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _large_star(sym: DataFrame) -> DataFrame:
+def _large_star(sym: DataFrame, dedup: bool = True) -> DataFrame:
     """sym: symmetric (u, v) edges, u != v. Connect each node's strictly
-    larger neighbors to min(neighborhood ∪ {u})."""
+    larger neighbors to min(neighborhood ∪ {u}).
+
+    ``dedup=False`` skips the trailing ``distinct`` (one whole shuffle):
+    duplicate (u, v) rows — several neighbors of u sharing the same min —
+    change nothing downstream (mins are duplicate-insensitive, small-star
+    ends in its own distinct) and the intermediate stays bounded by |sym|,
+    so the round-final distinct is the only dedup the round needs."""
     mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-    return (
+    out = (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, oriented: bool = False) -> DataFrame:
     """edges: undirected pair list. Orient each edge large->small, then
-    connect each node and its smaller neighbors to the minimum."""
-    directed = edges.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct()
+    connect each node and its smaller neighbors to the minimum.
+
+    ``oriented=True`` declares the input already satisfies u > v — true
+    for every :func:`_large_star` output row, whose u is a strictly
+    larger neighbor and whose v is a neighborhood minimum — skipping the
+    orientation projection AND its distinct (a whole shuffle; duplicate
+    rows cannot change the group mins or the final distinct output)."""
+    if oriented:
+        directed = edges
+    else:
+        directed = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
     mins = directed.groupBy("u").agg(F.min("v").alias("m"))
     to_min = directed.join(mins, "u")
     part1 = to_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -124,7 +139,16 @@ def connected_components(
         # + both small-star branches), and an UNmaterialized first pair
         # gets re-executed once per reference; the per-round checkpoint
         # is precisely what makes multi-reference rounds cheap.
-        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=False)
+        # For the same reason the LARGE-star output is checkpointed
+        # WITHIN the round (lazily — no extra job): small-star references
+        # it three times (mins build, to_min probe, part2), and without
+        # materialization each reference re-executed the whole large-star
+        # subtree (3 extra exchange pairs per round in the plan).
+        # dedup/oriented flags: both intermediate distincts are provably
+        # redundant (see the star helpers) — round cost drops from ~8
+        # shuffle stages to ~5 with an identical fixed point.
+        ls = _large_star(sym, dedup=False).localCheckpoint(eager=False)
+        nxt = _small_star(ls, oriented=True).localCheckpoint(eager=False)
         nxt_sig = signature(nxt)
         edges.unpersist()
         edges = nxt

@@ -86,6 +86,7 @@ def add_deterministic_chunk_ids(
     counts: DataFrame | None = None,
     skew_threshold: int = SKEW_THRESHOLD_ROWS,
     keep_rank: bool = False,
+    max_count: int | None = None,
 ) -> DataFrame:
     """Assign chunk ids = floor(global_rank / max_chunk_size) under the
     (file_id, patch_id) total order, without a global window.
@@ -119,7 +120,8 @@ def add_deterministic_chunk_ids(
     id_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[
         id_key
     ]
-    max_count = counts.agg(F.max("count")).first()[0] or 0
+    if max_count is None:
+        max_count = counts.agg(F.max("count")).first()[0] or 0
     if max_count > skew_threshold and id_type in _INTEGRAL_TYPES:
         rank_in_file = _bucketed_rank_in_file(df, file_key, id_key)
     else:
@@ -298,8 +300,14 @@ def fps_sample(
     # for a per-file aggregation pass.
     if counts is None:
         counts = df.groupBy(file_key).count().persist()
-    total_row = counts.agg(F.sum("count").alias("n")).first()
+    # ONE driver barrier for both scalars the pipeline needs (guide §1.2:
+    # fewer jobs): the global total (quota arithmetic) and the max per-file
+    # count (skew-guard decision) ride the same tiny aggregation.
+    total_row = counts.agg(
+        F.sum("count").alias("n"), F.max("count").alias("mx")
+    ).first()
     total = int(total_row["n"] or 0)
+    max_count = int(total_row["mx"] or 0)
     if total == 0:
         return df.select(*keep).withColumn(CHUNK_ID, F.lit(0)).withColumn(
             FPS_RANK, F.lit(0)
@@ -313,6 +321,7 @@ def fps_sample(
         counts=counts,
         skew_threshold=skew_threshold,
         keep_rank=True,
+        max_count=max_count,
     )
     # GLOBAL_RANK replaces (file_key, id_key) as the sort key: one long
     # whose order is exactly the (file, id) total order, so the carve

@@ -45,6 +45,11 @@ def sample_randomly(
 
 _HASH_BUCKET = 1 << 16  # det_hash range is [0, 2^31) -> 32768 buckets
 
+# single source of truth for the auto-salt skew threshold, so callers that
+# can BOUND their stratum sizes (e.g. assign_split knows the selection
+# count) can skip the detection job without duplicating the constant
+_DEFAULT_SALT_THRESHOLD = 2_000_000
+
 
 def _hash_threshold_trim(df: DataFrame, n: int, h, key: str) -> DataFrame:
     """The n smallest rows by (hash, key) WITHOUT a driver merge of n rows:
@@ -108,7 +113,7 @@ def sample_with_stratification(
     id_key: str = S.PATCH_ID,
     distributed_trim_threshold: int = 20000,
     salt: int | str = "auto",
-    salt_threshold: int = 2_000_000,
+    salt_threshold: int = _DEFAULT_SALT_THRESHOLD,
     counts: DataFrame | None = None,
 ) -> DataFrame:
     """M7: exact-n sample stratified by ``keys``

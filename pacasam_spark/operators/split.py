@@ -39,8 +39,17 @@ def assign_split(
     # epsilon guards float noise in rebalanced fractions, e.g.
     # (k/n)*n = k - 1e-12 must still floor to k
     n_val = math.floor(frac_validation_set * n + 1e-9)
+    # n bounds every stratum size, so when the WHOLE selection is under
+    # the salt threshold the skew guard provably cannot engage — pass
+    # salt=0 to skip the auto-detection's per-strata count job (identical
+    # output either way; guide §1.2: fewer driver barriers).
+    from pacasam_spark.operators.sampling import _DEFAULT_SALT_THRESHOLD
+
+    salt = 0 if n <= _DEFAULT_SALT_THRESHOLD else "auto"
     val_ids = (
-        sample_with_stratification(selection, n_val, keys=keys, seed=seed)
+        sample_with_stratification(
+            selection, n_val, keys=keys, seed=seed, salt=salt
+        )
         .select(S.PATCH_ID)
         .withColumn("__is_val", F.lit(True))
     )

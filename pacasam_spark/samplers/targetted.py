@@ -40,15 +40,38 @@ class TargettedSampler(Sampler):
         target_total = self.cf["target_total_num_patches"]
         targets = self.sorted_targets(self.cf["TargettedSampler"]["targets"])
 
+        # ONE fused skew probe for every target (guide §1.2/§2): the
+        # auto-salt detection inside sample_with_stratification would run
+        # a per-strata count scan PER TARGET; the max matching-rows-per-
+        # file of all targets ride a single grouped aggregation instead,
+        # and each branch gets its salt handed in (same formula as the
+        # auto path — output is identical either way, the salt only
+        # selects the skew-guard execution strategy).
+        from pacasam_spark.operators.sampling import _DEFAULT_SALT_THRESHOLD
+
+        names = list(targets.keys())
+        maxes = (
+            self.db.groupBy(S.FILE_ID)
+            .agg(*[F.sum(F.col(n).cast("int")).alias(n) for n in names])
+            .agg(*[F.max(n).alias(n) for n in names])
+            .first()
+        )
+
         def build_target(i: int, name: str, objectives: dict) -> DataFrame:
             matching = filter_by_boolean_descriptor(self.db, name).select(
                 S.PATCH_ID, S.FILE_ID
             )
             quota = int(objectives["target_min_samples_proportion"] * target_total)
+            mx = int(maxes[name] or 0)
+            salt = (
+                0
+                if mx <= _DEFAULT_SALT_THRESHOLD
+                else min(256, -(-mx // _DEFAULT_SALT_THRESHOLD))
+            )
             # "cannot take more than there is" (targetted.py:68): the
             # window-rank sampler caps at the available count naturally.
             sel = sample_with_stratification(
-                matching, quota, keys=S.FILE_ID, seed=self.seed + 7 * i
+                matching, quota, keys=S.FILE_ID, seed=self.seed + 7 * i, salt=salt
             )
             return self._finalize(sel, seed_offset=7 * i + 1)
 
