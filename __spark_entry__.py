@@ -72,26 +72,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries / oracles
 # --------------------------------------------------------------------------
 
+def _hi_lo(v: F.Column) -> tuple[F.Column, F.Column]:
+    """Exact (hi, lo) split of a long column at 2^31: lo = pmod in
+    [0, 2^31), and (v - lo) is a multiple of 2^31 whose quotient has
+    <= 32 significant bits, so the double division is exact."""
+    lo = F.pmod(v, F.lit(1 << 31))
+    hi = ((v - lo) / F.lit(1 << 31)).cast("long")
+    return hi, lo
+
+
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A-class aggregation battery (SURVEY §2.5 A4-A7) — TPC-H Q1 shape."""
+    """A-class aggregation battery (SURVEY §2.5 A4-A7) — TPC-H Q1 shape.
+
+    Long-scaled exact arithmetic (optimization guide §1.2 "per-task
+    work"): the straightforward decimal(27,4) formulation spends the
+    whole stage in per-row JavaBigDecimal multiply/sum (precision > 18
+    never takes Spark's compact-long path). TPC-H money columns are 2dp
+    grids with l_extendedprice < 1.1e5 and everything non-negative, so
+    each operand converts EXACTLY to a scale-4 long (the double is
+    within 1e-6 of the grid point, so +0.5-truncate recovers it), the
+    products are exact longs (<= 1.3e17 < 2^63), and sums ride hi/lo
+    long splits (exact to ~4e9 rows per group — sf ~700 — before ANSI
+    mode would raise loudly). The final per-GROUP reconstruction
+    rebuilds the identical exact decimal and casts to double, so every
+    output bit matches the decimal formulation and the frozen oracle."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    price = F.col("l_extendedprice").cast(DEC)
-    disc = F.col("l_discount").cast(DEC)
-    tax = F.col("l_tax").cast(DEC)
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (F.lit(1).cast(DEC) - disc) * (F.lit(1).cast(DEC) + tax))
-            .cast("double")
-            .alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
-            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    # exact scale-4 long operands (values are non-negative 2dp grids)
+    qi = (F.col("l_quantity") * 10000 + 0.5).cast("long")
+    pi = (F.col("l_extendedprice") * 10000 + 0.5).cast("long")
+    di = ((1 - F.col("l_discount")) * 10000 + 0.5).cast("long")
+    ti = ((1 + F.col("l_tax")) * 10000 + 0.5).cast("long")
+    d2 = (F.col("l_discount") * 10000 + 0.5).cast("long")
+    p8 = pi * di  # disc price, scale 8, exact long
+    p12 = pi * di * ti  # charge, scale 12, exact long
+    p8_hi, p8_lo = _hi_lo(p8)
+    p12_hi, p12_lo = _hi_lo(p12)
+
+    def dec(col: F.Column, scale_pow: int) -> F.Column:
+        """Exact decimal value of a scaled-long sum: the quotient's true
+        scale is <= 6dp (operand grids), and Spark's decimal division
+        keeps scale >= 6, so the division is exact and the double cast
+        is the same correctly-rounded conversion the decimal sums had."""
+        return (col.cast("decimal(38,4)") / F.lit(10 ** scale_pow)).cast("double")
+
+    def rejoin(hi: F.Column, lo: F.Column) -> F.Column:
+        return hi.cast("decimal(38,4)") * F.lit(1 << 31) + lo
+
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qi).alias("__q4"),
+        F.sum(pi).alias("__p4"),
+        F.sum(p8_hi).alias("__dp_hi"),
+        F.sum(p8_lo).alias("__dp_lo"),
+        F.sum(p12_hi).alias("__ch_hi"),
+        F.sum(p12_lo).alias("__ch_lo"),
+        F.sum(d2).alias("__d4"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        dec(F.col("__q4"), 4).alias("sum_qty"),
+        dec(F.col("__p4"), 4).alias("sum_base_price"),
+        (rejoin(F.col("__dp_hi"), F.col("__dp_lo")) / F.lit(10 ** 8))
+        .cast("double")
+        .alias("sum_disc_price"),
+        (rejoin(F.col("__ch_hi"), F.col("__ch_lo")) / F.lit(10 ** 12))
+        .cast("double")
+        .alias("sum_charge"),
+        (dec(F.col("__q4"), 4) / F.col("count_order")).alias("avg_qty"),
+        (dec(F.col("__p4"), 4) / F.col("count_order")).alias("avg_price"),
+        (dec(F.col("__d4"), 4) / F.col("count_order")).alias("avg_disc"),
+        "count_order",
     )
 
 

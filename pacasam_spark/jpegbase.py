@@ -439,6 +439,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 off += 17 + n
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             _prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if _prec != 8:
+                # 12-bit extended-sequential would silently decode wrong
+                # through the 8-bit dequant/level-shift/clip path
+                raise NotImplementedError(
+                    f"JPEG sample precision {_prec} not supported (8-bit only)"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)

@@ -51,6 +51,15 @@ _HASH_BUCKET = 1 << 16  # det_hash range is [0, 2^31) -> 32768 buckets
 _DEFAULT_SALT_THRESHOLD = 2_000_000
 
 
+def salt_for_max_stratum(
+    mx: int, salt_threshold: int = _DEFAULT_SALT_THRESHOLD
+) -> int:
+    """The salt the auto path would choose for a known (or upper-bounded)
+    max stratum size — exposed so callers with a precomputed bound skip
+    the detection job (output is identical for any salt)."""
+    return 0 if mx <= salt_threshold else min(256, -(-mx // salt_threshold))
+
+
 def _hash_threshold_trim(df: DataFrame, n: int, h, key: str) -> DataFrame:
     """The n smallest rows by (hash, key) WITHOUT a driver merge of n rows:
     one aggregation builds a 32k-bucket histogram of the hash values, the
@@ -146,7 +155,7 @@ def sample_with_stratification(
         if counts is None:
             counts = df.groupBy(*keys).count()
         mx = int(counts.agg(F.max("count")).first()[0] or 0)
-        salt = 0 if mx <= salt_threshold else min(256, -(-mx // salt_threshold))
+        salt = salt_for_max_stratum(mx, salt_threshold)
     if salt > 1:
         df = _salted_rank_candidates(df, num_to_sample, keys, h, id_key, seed, salt)
     w = Window.partitionBy(*keys).orderBy(h, F.col(id_key))

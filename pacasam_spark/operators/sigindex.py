@@ -223,6 +223,22 @@ def cross_batch_duplicate_ids(
             )
         )
         thr = dcf.get("jaccard_threshold", 0.7)
+        # Pairs sharing ALL bands have bit-identical MinHash signatures —
+        # duplicates with no Jaccard check needed. Short-circuiting them
+        # matters for correctness, not just speed: the index also covers
+        # within-batch dedup LOSERS that have no corpus text, so their
+        # candidate pairs would silently vanish in the corpus-side verify
+        # joins below and an A-B-C near-dup chain would be re-added on
+        # replay, breaking the replay-no-op contract. A replayed doc (or
+        # an exact copy of any indexed doc) always full-band-matches and
+        # is dropped here before the corpus join can lose it.
+        n_bands = int(params["bands"])
+        exact_ids = (
+            pairs.filter(F.col("n_shared_bands") >= n_bands)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        pairs = pairs.filter(F.col("n_shared_bands") < n_bands)
         if thr is not None:
             if corpus is None:
                 raise ValueError(
@@ -286,7 +302,12 @@ def cross_batch_duplicate_ids(
                     >= float(thr)
                 )
             )
-        return pairs.select(F.col("new_id").alias(id_col)).distinct()
+        return (
+            pairs.select(F.col("new_id").alias(id_col))
+            .distinct()
+            .unionByName(exact_ids)
+            .distinct()
+        )
 
     if method == "simhash":
         new_sig = signature_table(new_docs, "simhash", text_col, id_col)

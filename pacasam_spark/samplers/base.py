@@ -136,8 +136,13 @@ class Sampler:
                     try:
                         os.kill(pid, 0)
                         alive = True
-                    except (ProcessLookupError, PermissionError):
+                    except ProcessLookupError:
                         alive = False
+                    except PermissionError:
+                        # the pid EXISTS but belongs to another user —
+                        # treating it as dead would steal a live lease in
+                        # multi-user deployments
+                        alive = True
                 if alive:
                     raise RuntimeError(
                         f"checkpoint_dir {self.checkpoint_dir} is being "

@@ -47,27 +47,35 @@ class TargettedSampler(Sampler):
         # and each branch gets its salt handed in (same formula as the
         # auto path — output is identical either way, the salt only
         # selects the skew-guard execution strategy).
-        from pacasam_spark.operators.sampling import _DEFAULT_SALT_THRESHOLD
+        from pacasam_spark.operators.sampling import (
+            _DEFAULT_SALT_THRESHOLD,
+            salt_for_max_stratum,
+        )
 
         names = list(targets.keys())
         maxes = (
             self.db.groupBy(S.FILE_ID)
-            .agg(*[F.sum(F.col(n).cast("int")).alias(n) for n in names])
-            .agg(*[F.max(n).alias(n) for n in names])
+            .agg(
+                F.count("*").alias("__all"),
+                *[F.sum(F.col(n).cast("int")).alias(n) for n in names],
+            )
+            .agg(
+                F.max("__all").alias("__all"),
+                *[F.max(n).alias(n) for n in names],
+            )
             .first()
         )
+        # the catalogue-wide max stratum bounds every SUBSET's strata, so
+        # composite samplers (Triple) reuse it for their completion draw
+        # instead of re-probing the (anti-joined) remainder
+        self.stratum_max_bound = int(maxes["__all"] or 0)
 
         def build_target(i: int, name: str, objectives: dict) -> DataFrame:
             matching = filter_by_boolean_descriptor(self.db, name).select(
                 S.PATCH_ID, S.FILE_ID
             )
             quota = int(objectives["target_min_samples_proportion"] * target_total)
-            mx = int(maxes[name] or 0)
-            salt = (
-                0
-                if mx <= _DEFAULT_SALT_THRESHOLD
-                else min(256, -(-mx // _DEFAULT_SALT_THRESHOLD))
-            )
+            salt = salt_for_max_stratum(int(maxes[name] or 0))
             # "cannot take more than there is" (targetted.py:68): the
             # window-rank sampler caps at the available count naturally.
             sel = sample_with_stratification(
@@ -112,7 +120,9 @@ class TargettedSampler(Sampler):
         completion_cf["frac_validation_set"] = frac_for_completion
         ss = SpatialSampler(self.db, completion_cf, log=self.log, seed=self.seed + 991)
         completion = ss.get_patches(
-            num_to_sample=num_to_add, current_selection_ids=selection
+            num_to_sample=num_to_add,
+            current_selection_ids=selection,
+            salt=salt_for_max_stratum(self.stratum_max_bound),
         )
         return selection.unionByName(completion)
 

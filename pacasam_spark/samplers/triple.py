@@ -61,7 +61,18 @@ class TripleSampler(Sampler):
 
         num_to_complete = target_total - n_selection
         ss = SpatialSampler(self.db, self.cf, log=self.log, seed=self.seed + 2)
+        # reuse the targetted leg's catalogue-wide stratum bound (its
+        # fused probe) for the completion draw's salt choice: the draw
+        # samples a SUBSET of the catalogue, so the bound holds and the
+        # auto-detection's count job over the anti-joined remainder is
+        # skipped (identical output; absent on checkpoint resume, where
+        # the probe never ran, so fall back to auto).
+        from pacasam_spark.operators.sampling import salt_for_max_stratum
+
+        bound = getattr(ts, "stratum_max_bound", None)
         others = ss.get_patches(
-            num_to_sample=num_to_complete, current_selection_ids=selection
+            num_to_sample=num_to_complete,
+            current_selection_ids=selection,
+            salt="auto" if bound is None else salt_for_max_stratum(bound),
         )
         return union_dedup_priority([selection, others])

@@ -79,6 +79,28 @@ def get_spark(
         # files.maxPartitionBytes default 128m is fine for the test parquet;
         # kept explicit so the scale knob is visible.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Join strategy (optimization guide §3.1/§9, size-based so the
+        # same settings hold on a cluster): let the planner pick a
+        # shuffled-hash join when a side's per-partition build fits
+        # (sort-merge pays two full sorts it doesn't need), let AQE
+        # rewrite SMJ->SHJ at runtime under the same bound, and raise the
+        # broadcast threshold from 10m to 64m — dimension-sized sides in
+        # the tens of MB (orders' 2-column projection here) skip the big
+        # side's shuffle entirely, while genuinely large sides still
+        # exceed the bound and shuffle as before. All three are
+        # env-overridable for deployments with tighter executor memory.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "134217728"),
+        )
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "67108864"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -623,7 +623,7 @@ def read_snapshot(
             name = f"snap_bucketed_{digest}"
             if spark.catalog.tableExists(name):
                 return spark.table(name)
-            return register_bucketed_catalogue(
+            out = register_bucketed_catalogue(
                 spark,
                 name,
                 data_dir,
@@ -631,6 +631,21 @@ def read_snapshot(
                 bucket_key=layout["bucket_key"],
                 sort_keys=tuple(layout["sort_keys"]),
             )
+            # bound the session's registration footprint: remember the
+            # registration THIS reader path created per table dir and drop
+            # the previous one when a newer (version, committed_at) of the
+            # same dir supersedes it — long sessions reading many versions
+            # no longer accrete catalog entries, and registrations for
+            # OTHER dirs (or made by other code) are never touched
+            mine = getattr(spark, "_pacasam_snap_registrations", None)
+            if mine is None:
+                mine = {}
+                spark._pacasam_snap_registrations = mine
+            prev = mine.get(os.path.abspath(table_dir))
+            if prev and prev != name:
+                spark.sql(f"DROP TABLE IF EXISTS {prev}")
+            mine[os.path.abspath(table_dir)] = name
+            return out
         return spark.read.parquet(data_dir)
     # explicit file list: the version's live files (own + — through
     # append/upsert links — ancestors', minus upsert-removed ones), each

@@ -301,3 +301,32 @@ def test_sig_index_param_mismatch_raises(spark, tmp_path):
         ensure_sig_index(spark, outtbl, "minhash", {"bands": 8})
     with pytest.raises(ValueError, match="not comparable"):
         ensure_sig_index(spark, outtbl, "simhash", {})
+
+
+def test_cross_batch_indexed_loser_chain_replay(spark):
+    """A-B-C near-dup chains (round-7 advice): B was dropped as a dup of
+    corpus doc A, so B's text is NOT in the corpus but B's signatures ARE
+    in the index. A later batch carrying C == B must still be dropped:
+    C full-band-matches B's indexed signatures and the short-circuit
+    (exact signature match => duplicate, no corpus text needed) fires
+    before the corpus-side Jaccard joins could silently lose the pair."""
+    corpus = _docs(spark, 0, 30).cache()
+    # B: indexed dedup losers whose text never reached the corpus
+    losers = _docs(spark, 0, 10).select(
+        (F.col("doc_id") + 7000).alias("doc_id"), "text"
+    )
+    index = signature_table(corpus.unionByName(losers), "minhash")
+    # C: exact replays of the losers under fresh ids
+    replay = losers.select((F.col("doc_id") + 500).alias("doc_id"), "text")
+    got = {
+        r["doc_id"]
+        for r in cross_batch_duplicate_ids(
+            replay,
+            index,
+            "minhash",
+            corpus=corpus,
+            dcf={"jaccard_threshold": 0.7, "min_shared_bands": 2},
+        ).collect()
+    }
+    want = {r["doc_id"] for r in replay.select("doc_id").collect()}
+    assert got == want, f"missing replayed dups: {sorted(want - got)}"

@@ -63,11 +63,22 @@ def main() -> None:
     chains = ids.filter(
         (F.pmod(F.col("doc_id") + 1, F.lit(10)) != 0) & (F.col("doc_id") + 1 < 300)
     ).select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
-    edges = chains.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    # mirror the production loop: the round's INPUT edge set is always a
+    # localCheckpoint (LogicalRDD), so the captured plan is one round's
+    # true executed shape, not the unbounded lazy recursion
+    edges = (
+        chains.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    round_df = C._small_star(C._large_star(sym))
+    if tag == "before":
+        round_df = C._small_star(C._large_star(sym, dedup=True), oriented=False)
+    else:
+        ls = C._large_star(sym, dedup=False).localCheckpoint(eager=True)
+        round_df = C._small_star(ls, oriented=True)
     with open(f"{out_dir}/q49_round_{tag}.txt", "w") as f:
         f.write(plan_of(round_df))
     print(f"wrote q49_round_{tag}.txt")
