@@ -47,10 +47,7 @@ class TargettedSampler(Sampler):
         # and each branch gets its salt handed in (same formula as the
         # auto path — output is identical either way, the salt only
         # selects the skew-guard execution strategy).
-        from pacasam_spark.operators.sampling import (
-            _DEFAULT_SALT_THRESHOLD,
-            salt_for_max_stratum,
-        )
+        from pacasam_spark.operators.sampling import salt_for_max_stratum
 
         names = list(targets.keys())
         maxes = (
@@ -70,16 +67,33 @@ class TargettedSampler(Sampler):
         # instead of re-probing the (anti-joined) remainder
         self.stratum_max_bound = int(maxes["__all"] or 0)
 
+        quotas = [
+            int(o["target_min_samples_proportion"] * target_total)
+            for o in targets.values()
+        ]
+        salts = [salt_for_max_stratum(int(maxes[n] or 0)) for n in names]
+        # Measured dead end, do not retry: merging the four per-target
+        # rank windows into ONE window over the tagged union (per-target
+        # seed via a tag-indexed premixed-seed column) produced an
+        # IDENTICAL selection but ran ~40% slower at bench scale — the
+        # branches partition the catalogue, so the union shuffles the
+        # same bytes the four windows shuffle combined (no saving at any
+        # scale), while the four concurrent per-branch jobs already
+        # overlap their latency and the merged plan adds a persist
+        # materialization before the per-target cuts.
+
         def build_target(i: int, name: str, objectives: dict) -> DataFrame:
             matching = filter_by_boolean_descriptor(self.db, name).select(
                 S.PATCH_ID, S.FILE_ID
             )
-            quota = int(objectives["target_min_samples_proportion"] * target_total)
-            salt = salt_for_max_stratum(int(maxes[name] or 0))
             # "cannot take more than there is" (targetted.py:68): the
             # window-rank sampler caps at the available count naturally.
             sel = sample_with_stratification(
-                matching, quota, keys=S.FILE_ID, seed=self.seed + 7 * i, salt=salt
+                matching,
+                quotas[i],
+                keys=S.FILE_ID,
+                seed=self.seed + 7 * i,
+                salt=salts[i],
             )
             return self._finalize(sel, seed_offset=7 * i + 1)
 
