@@ -26,7 +26,7 @@ from pacasam_spark.operators.sampling import (
 )
 from pacasam_spark.operators.union import union_dedup_priority
 from pacasam_spark.sources.synthetic import synthetic_catalogue, synthetic_catalogue_sql
-from pacasam_spark.spatial.cells import cell_id, cell_id_sql
+from pacasam_spark.spatial.cells import cell_id_sql
 
 DEC = "decimal(27,4)"
 
@@ -427,17 +427,33 @@ from orders
 def q14_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 generalized: hierarchical cell ids as pure column exprs
     (reference: connectors/synthetic.py:112; SURVEY §4.3-8)."""
+    from pacasam_spark.spatial.cells import cell_edge
+
     li = _t(spark, sf_dir, "lineitem")
     x = (F.pmod(F.col("l_orderkey"), F.lit(1000)) * 50).cast("double")
     y = (F.pmod(F.col("l_partkey"), F.lit(1000)) * 50).cast("double")
+    # aggregate on the INTEGER cell components and render the "cx_cy"
+    # strings on the 49 result rows only: the string build is injective
+    # in the component pair (ints never contain '_'), so counts and
+    # distinct-child counts are unchanged while the 6M-row aggregation
+    # hashes two longs instead of allocating two strings per row.
+    e0, e3 = cell_edge(0), cell_edge(3)
     pts = li.select(
-        _li_id(),
-        cell_id(x, y, 0).alias("cell_l0"),
-        cell_id(x, y, 3).alias("cell_l3"),
+        F.floor(x / e0).cast("long").alias("cx0"),
+        F.floor(y / e0).cast("long").alias("cy0"),
+        F.floor(x / e3).cast("long").alias("cx3"),
+        F.floor(y / e3).cast("long").alias("cy3"),
     )
-    return pts.groupBy("cell_l3").agg(
+    agg = pts.groupBy("cx3", "cy3").agg(
         F.count("*").alias("n_points"),
-        F.countDistinct("cell_l0").alias("n_children"),
+        F.countDistinct("cx0", "cy0").alias("n_children"),
+    )
+    return agg.select(
+        F.concat(
+            F.col("cx3").cast("string"), F.lit("_"), F.col("cy3").cast("string")
+        ).alias("cell_l3"),
+        "n_points",
+        "n_children",
     )
 
 

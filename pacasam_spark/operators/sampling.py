@@ -158,15 +158,26 @@ def sample_with_stratification(
         salt = salt_for_max_stratum(mx, salt_threshold)
     if salt > 1:
         df = _salted_rank_candidates(df, num_to_sample, keys, h, id_key, seed, salt)
-    w = Window.partitionBy(*keys).orderBy(h, F.col(id_key))
-    ranked = df.withColumn("__rk", F.row_number().over(w))
+    # Explicit repartition on the strata keys, hash projected AFTER it:
+    # left to ENSURE_REQUIREMENTS, Catalyst computes the window's order
+    # expression BELOW the exchange, so every shuffled row carries the
+    # 8-byte hash it could recompute on the reduce side (guide §2.3
+    # "project before the exchange"). Same partitioning, same rank, same
+    # rows — one fewer column of shuffle bytes.
+    hc = F.col("__h")
+    w = Window.partitionBy(*keys).orderBy(hc, F.col(id_key))
+    ranked = (
+        df.repartition(*[F.col(k) for k in keys])
+        .withColumn("__h", h)
+        .withColumn("__rk", F.row_number().over(w))
+    )
     if num_to_sample <= distributed_trim_threshold:
         return (
-            ranked.orderBy(F.col("__rk"), h, F.col(id_key))
+            ranked.orderBy(F.col("__rk"), hc, F.col(id_key))
             .limit(num_to_sample)
-            .drop("__rk")
+            .drop("__rk", "__h")
         )
-    return _round_threshold_trim(ranked, num_to_sample, keys, h, id_key)
+    return _round_threshold_trim(ranked, num_to_sample, keys, hc, id_key)
 
 
 def _salted_rank_candidates(df, num_to_sample, keys, h, id_key, seed, salt):
@@ -203,7 +214,7 @@ def _round_threshold_trim(ranked, num_to_sample, keys, h, id_key):
     max_round, total = int(max_round_row["mx"] or 0), int(max_round_row["total"] or 0)
     if total <= num_to_sample:
         counts.unpersist()
-        return ranked.drop("__rk")
+        return ranked.drop("__rk", "__h")
 
     def taken_at(r: int) -> int:
         return int(
@@ -223,13 +234,13 @@ def _round_threshold_trim(ranked, num_to_sample, keys, h, id_key):
 
     base = ranked.filter(F.col("__rk") <= r)
     if remaining == 0:
-        return base.drop("__rk")
+        return base.drop("__rk", "__h")
     boundary = (
         ranked.filter(F.col("__rk") == r + 1)
         .orderBy(h, F.col(id_key))
         .limit(remaining)
     )
-    return base.unionByName(boundary).drop("__rk")
+    return base.unionByName(boundary).drop("__rk", "__h")
 
 
 def stratified_sample_sql(
