@@ -302,12 +302,18 @@ def fps_sample(
         counts = df.groupBy(file_key).count().persist()
     # ONE driver barrier for both scalars the pipeline needs (guide §1.2:
     # fewer jobs): the global total (quota arithmetic) and the max per-file
-    # count (skew-guard decision) ride the same tiny aggregation.
-    total_row = counts.agg(
-        F.sum("count").alias("n"), F.max("count").alias("mx")
-    ).first()
-    total = int(total_row["n"] or 0)
-    max_count = int(total_row["mx"] or 0)
+    # count (skew-guard decision) ride the same tiny aggregation — or no
+    # job at all when the counts table was built from snapshot manifests,
+    # which stamp the totals on the DataFrame driver-side.
+    totals = getattr(counts, "_pacasam_totals", None)
+    if totals is not None:
+        total, max_count = int(totals[0]), int(totals[1])
+    else:
+        total_row = counts.agg(
+            F.sum("count").alias("n"), F.max("count").alias("mx")
+        ).first()
+        total = int(total_row["n"] or 0)
+        max_count = int(total_row["mx"] or 0)
     if total == 0:
         return df.select(*keep).withColumn(CHUNK_ID, F.lit(0)).withColumn(
             FPS_RANK, F.lit(0)

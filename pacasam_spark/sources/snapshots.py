@@ -742,6 +742,13 @@ def snapshot_fps_inputs(
     counts = spark.createDataFrame(
         sorted(key_totals.items()), schema=f"{key} {key_type}, count long"
     )
+    # the totals the FPS quota/skew arithmetic needs are already known
+    # driver-side; ride them on the DataFrame object so fps_sample skips
+    # its one remaining aggregation job over this table (same values)
+    counts._pacasam_totals = (
+        sum(key_totals.values()),
+        max(key_totals.values(), default=0),
+    )
     return stats, counts
 
 
