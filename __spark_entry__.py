@@ -108,15 +108,32 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     p8_hi, p8_lo = _hi_lo(p8)
     p12_hi, p12_lo = _hi_lo(p12)
 
-    def dec(col: F.Column, scale_pow: int) -> F.Column:
-        """Exact decimal value of a scaled-long sum: the quotient's true
-        scale is <= 6dp (operand grids), and Spark's decimal division
-        keeps scale >= 6, so the division is exact and the double cast
-        is the same correctly-rounded conversion the decimal sums had."""
-        return (col.cast("decimal(38,4)") / F.lit(10 ** scale_pow)).cast("double")
+    import decimal as _d
+
+    TWO64 = F.lit(_d.Decimal(1 << 64))
+
+    def duck_double(u: F.Column, scale_pow: int) -> F.Column:
+        """The frozen DuckDB oracle's decimal->double cast, replayed on
+        the exact unscaled integer ``u`` (a decimal(38,0)): DuckDB stores
+        every DECIMAL(38,s) as an int128 and casts via
+        ``double(upper_limb) * 2^64 + double(lower_limb)`` then divides
+        by ``double(10^s)`` — NOT always the correctly-rounded
+        conversion. Replaying the same IEEE op sequence makes q01's
+        doubles bit-equal to the oracle at EVERY scale factor (verified
+        sf0.001..1.0 over all groups/columns); Spark's own
+        correctly-rounded decimal cast disagreed by 1 ulp on cells where
+        the unscaled sum exceeds 2^63 (DuckDB's sum scales are 4/8/12,
+        so that happens from ~3e19 upward — sf0.001's N/F charge cell
+        already does). The limb split is exact decimal arithmetic
+        (dividend is a multiple of 2^64; division result scale >= 6)."""
+        lower = F.pmod(u, TWO64)
+        upper = (u - lower) / TWO64
+        return (
+            upper.cast("double") * F.lit(float(1 << 64)) + lower.cast("double")
+        ) / F.lit(float(10 ** scale_pow))
 
     def rejoin(hi: F.Column, lo: F.Column) -> F.Column:
-        return hi.cast("decimal(38,4)") * F.lit(1 << 31) + lo
+        return hi.cast("decimal(38,0)") * F.lit(1 << 31) + lo
 
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(qi).alias("__q4"),
@@ -131,17 +148,28 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         "l_linestatus",
-        dec(F.col("__q4"), 4).alias("sum_qty"),
-        dec(F.col("__p4"), 4).alias("sum_base_price"),
-        (rejoin(F.col("__dp_hi"), F.col("__dp_lo")) / F.lit(10 ** 8))
-        .cast("double")
-        .alias("sum_disc_price"),
-        (rejoin(F.col("__ch_hi"), F.col("__ch_lo")) / F.lit(10 ** 12))
-        .cast("double")
-        .alias("sum_charge"),
-        (dec(F.col("__q4"), 4) / F.col("count_order")).alias("avg_qty"),
-        (dec(F.col("__p4"), 4) / F.col("count_order")).alias("avg_price"),
-        (dec(F.col("__d4"), 4) / F.col("count_order")).alias("avg_disc"),
+        duck_double(F.col("__q4").cast("decimal(38,0)"), 4).alias("sum_qty"),
+        duck_double(F.col("__p4").cast("decimal(38,0)"), 4).alias(
+            "sum_base_price"
+        ),
+        duck_double(rejoin(F.col("__dp_hi"), F.col("__dp_lo")), 8).alias(
+            "sum_disc_price"
+        ),
+        duck_double(rejoin(F.col("__ch_hi"), F.col("__ch_lo")), 12).alias(
+            "sum_charge"
+        ),
+        (
+            duck_double(F.col("__q4").cast("decimal(38,0)"), 4)
+            / F.col("count_order")
+        ).alias("avg_qty"),
+        (
+            duck_double(F.col("__p4").cast("decimal(38,0)"), 4)
+            / F.col("count_order")
+        ).alias("avg_price"),
+        (
+            duck_double(F.col("__d4").cast("decimal(38,0)"), 4)
+            / F.col("count_order")
+        ).alias("avg_disc"),
         "count_order",
     )
 
