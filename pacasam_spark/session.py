@@ -82,13 +82,16 @@ def get_spark(
         # Join strategy (optimization guide §3.1/§9, size-based so the
         # same settings hold on a cluster): let the planner pick a
         # shuffled-hash join when a side's per-partition build fits
-        # (sort-merge pays two full sorts it doesn't need), let AQE
-        # rewrite SMJ->SHJ at runtime under the same bound, and raise the
-        # broadcast threshold from 10m to 64m — dimension-sized sides in
-        # the tens of MB (orders' 2-column projection here) skip the big
-        # side's shuffle entirely, while genuinely large sides still
-        # exceed the bound and shuffle as before. All three are
+        # (sort-merge pays two full sorts it doesn't need) and let AQE
+        # rewrite SMJ->SHJ at runtime under the same bound. Both are
         # env-overridable for deployments with tighter executor memory.
+        # Measured dead end, do not retry: raising
+        # autoBroadcastJoinThreshold to 64m made q06 2.1x SLOWER — a
+        # 1.5M-row build side costs more to hash-relation-ify per query
+        # than the shuffle it saves (broadcast 2.46s vs shuffled-hash
+        # 1.14s vs sort-merge 1.20s, interleaved A/B with the harness
+        # checksum); Spark's default 10m threshold already broadcasts
+        # the genuinely small sides (q03/q33/q41 plan gates).
         .config(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
@@ -96,10 +99,6 @@ def get_spark(
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "134217728"),
-        )
-        .config(
-            "spark.sql.autoBroadcastJoinThreshold",
-            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "67108864"),
         )
     )
     for k, v in (extra_conf or {}).items():
