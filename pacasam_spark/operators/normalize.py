@@ -275,6 +275,13 @@ def standardize(
                 raise
             stats = df.agg(*_stat_partial_aggs(types, masked, columns)).first()
     else:
+        # the FPS quota/skew scalars (total rows, max per-file count) ride
+        # the same merge job and are stamped on the counts DataFrame, so
+        # fps_sample runs NO aggregation job of its own (same values)
+        fps_totals = [
+            F.sum("count").alias("__total"),
+            F.max("count").alias("__mx"),
+        ]
         proj, fast_aggs = _stat_partials_fast(types, masked, columns)
         try:
             per_file = (
@@ -283,7 +290,9 @@ def standardize(
                 .agg(F.count("*").alias("count"), *fast_aggs)
                 .persist()
             )
-            row = per_file.agg(*_stat_merge_aggs_fast(types, columns)).first()
+            row = per_file.agg(
+                *_stat_merge_aggs_fast(types, columns), *fps_totals
+            ).first()
             stats = _stats_from_fast(row, types, columns)
         except Exception as e:
             if not _is_overflow_error(e):
@@ -297,8 +306,10 @@ def standardize(
                 )
                 .persist()
             )
-            stats = per_file.agg(*_stat_merge_aggs(columns)).first()
+            row = per_file.agg(*_stat_merge_aggs(columns), *fps_totals).first()
+            stats = row
         counts = per_file.select(file_counts_key, "count")
+        counts._pacasam_totals = (int(row["__total"] or 0), int(row["__mx"] or 0))
 
     if check_nan:
         bad = [c for c in columns if stats[f"nan_{c}"]]
@@ -414,9 +425,17 @@ def quantile_transform(
             .persist()
         )
         mins_row = per_file.agg(
-            *[F.min(f"min_{c}").alias(f"min_{c}") for c in columns]
+            *[F.min(f"min_{c}").alias(f"min_{c}") for c in columns],
+            F.sum("count").alias("__total"),
+            F.max("count").alias("__mx"),
         ).first()
         counts = per_file.select(file_counts_key, "count")
+        # same contract as the standardize fused path: FPS scalars ride
+        # the merge job, fps_sample skips its own aggregation
+        counts._pacasam_totals = (
+            int(mins_row["__total"] or 0),
+            int(mins_row["__mx"] or 0),
+        )
     for c in columns:
         fill = mins_row[f"min_{c}"]
         normed = normed.withColumn(
