@@ -828,3 +828,33 @@ def test_gopher_quality_flags_each_rule(spark):
     assert got[7]["keep"] is False and got[7]["ok_n_words"] is False
     for k, v in got[7].items():
         assert v is not None, k
+
+
+def test_star_round_flag_equivalence(spark):
+    """Round-8 optimization invariant: dropping the intermediate
+    distincts (large-star dedup, small-star orientation) changes no
+    round's edge SET — duplicates cannot move group mins and the
+    round-final distinct removes them, while every large-star output row
+    already satisfies u > v so orientation is a no-op."""
+    from pyspark.sql import functions as F
+
+    from pacasam_spark.operators.components import _large_star, _small_star
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (9, 4), (7, 8), (8, 9),
+                             (12, 11), (11, 10), (5, 6), (6, 7), (2, 5)]],
+        "u long, v long",
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    ls_slow = _large_star(sym, dedup=True)
+    ls_fast = _large_star(sym, dedup=False)
+    # large-star fast output: same SET, and strictly u > v on every row
+    assert {tuple(r) for r in ls_fast.distinct().collect()} == {
+        tuple(r) for r in ls_slow.collect()
+    }
+    assert ls_fast.filter(F.col("u") <= F.col("v")).count() == 0
+    slow = {tuple(r) for r in _small_star(ls_slow, oriented=False).collect()}
+    fast = {tuple(r) for r in _small_star(ls_fast, oriented=True).collect()}
+    assert slow == fast
