@@ -21,9 +21,20 @@ from pacasam_spark.samplers.base import Sampler
 
 
 class DiversitySampler(Sampler):
-    def get_patches(self, num_to_sample: int | None = None) -> DataFrame:
-        if num_to_sample is None:
-            num_to_sample = self.cf["target_total_num_patches"]
+    def prepare(self) -> "DiversitySampler":
+        """Run the normalization statistics pass NOW — the only driver
+        barrier in this leg that does not depend on ``num_to_sample`` —
+        so a composite sampler can overlap it with its other legs
+        (guide §2.6 "overlap independent jobs": TripleSampler submits
+        this from a thread while the targetted leg runs, and the stats
+        scan hides under the targetted windows instead of serializing
+        after them). Idempotent; ``get_patches`` reuses the result.
+        Values are identical either way — same jobs, different order."""
+        if getattr(self, "_prepared", None) is None:
+            self._prepared = self._normalized_inputs()
+        return self
+
+    def _normalized_inputs(self):
         dcf = self.cf["DiversitySampler"]
         cols = list(dcf["columns"])
 
@@ -61,6 +72,18 @@ class DiversitySampler(Sampler):
                 n_quantiles=dcf.get("n_quantiles", 50),
                 file_counts_key=S.FILE_ID,
             )
+        return db, counts
+
+    def get_patches(self, num_to_sample: int | None = None) -> DataFrame:
+        if num_to_sample is None:
+            num_to_sample = self.cf["target_total_num_patches"]
+        dcf = self.cf["DiversitySampler"]
+        cols = list(dcf["columns"])
+        db, counts = (
+            self._prepared
+            if getattr(self, "_prepared", None) is not None
+            else self._normalized_inputs()
+        )
 
         sel = fps_sample(
             db,

@@ -36,8 +36,19 @@ class TripleSampler(Sampler):
             self.db, self.cf, log=self.log, seed=self.seed,
             complete_with_spatial_sampling=False,
         )
-        targetted = self._stage("targetted", ts.get_patches)
-        n_targetted = targetted.count()
+        ds = DiversitySampler(self.db, self.cf, log=self.log, seed=self.seed + 1)
+        # Overlap independent jobs (guide §2.6): the diversity leg's
+        # normalization statistics pass depends only on the catalogue,
+        # not on the targetted count — submit it from a thread so it
+        # back-fills executors while the targetted windows run, instead
+        # of serializing after them. Same jobs, same values, less wall.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            prep = pool.submit(ds.prepare)
+            targetted = self._stage("targetted", ts.get_patches)
+            n_targetted = targetted.count()
+            prep.result()
 
         num_diverse = diversity_budget(target_total, n_targetted)
         if num_diverse < 0:
@@ -50,7 +61,6 @@ class TripleSampler(Sampler):
             )
             return targetted
 
-        ds = DiversitySampler(self.db, self.cf, log=self.log, seed=self.seed + 1)
         selection = self._stage(
             "targetted_plus_diverse",
             lambda: union_dedup_priority(
